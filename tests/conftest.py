@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-virtual-device CPU mesh so tests are
+deterministic (fp32, no remote compiles) and sharding/collective tests work
+without TPU hardware.
+
+Note: this environment's sitecustomize registers the "axon" TPU PJRT plugin
+in every Python process and forcibly sets jax_platforms="axon,cpu",
+overriding the JAX_PLATFORMS env var — so the platform must be reset through
+jax.config before any backend initialization."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,458 @@
+"""V1T core — the flagship Vision Transformer with per-block behavior
+modulation, re-designed for TPU.
+
+Capability parity with reference src/v1t/models/core/vit.py:
+- ``Image2Patches``: 4 patch modes (unfold / conv / shifted-patch-tokenization
+  / dual patch-norm), CLS token, learnable positional embedding added to every
+  token including CLS, embedding dropout (vit.py:41-129).
+- ``Attention``: pre-LN, bias-free fused QKV with inner_dim = emb_dim *
+  num_heads (per-head dim = emb_dim — unusually wide, vit.py:218-224), scale
+  emb_dim^-0.5, optional LSA (learnable per-head temperature + diagonal mask,
+  vit.py:234-261), attention dropout, projection + dropout.
+- ``BehaviorMLP``: 3- or 5-dim behavior state -> emb_dim latent, tanh MLP;
+  shared across mice (modes 2/3) or per-mouse (mode 4) (vit.py:157-202).
+- Block: x += behavior_latent; x = DropPath(MHA(x)) + x;
+  x = DropPath(MLP(x)) + x (vit.py:348-362).
+- Output: drop CLS, reshape tokens to a (C, h, w) feature map via the largest
+  factor pair of num_patches (vit.py:411-417, 423-436).
+
+TPU-first differences from the reference:
+- attention runs through a blockwise Pallas flash kernel (O(N) memory, bf16
+  matmuls, fp32 accumulation) instead of materializing the (1654, 1654)
+  attention matrix under torch AMP + per-attention gradient checkpointing.
+- dropout/droppath use explicit JAX PRNG streams.
+"""
+
+from __future__ import annotations
+
+import typing as t
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from v1t_tpu.models.registry import register_core
+from v1t_tpu.ops.attention import multi_head_attention
+from v1t_tpu.ops.common import drop_path, find_shape, unfold_output_size, unfold_patches
+
+Dtype = t.Any
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _dense(features: int, use_bias: bool = True, dtype: Dtype = None, name=None):
+    """Dense layer with the reference Transformer init: trunc_normal(0.02)
+    weights, zero bias (reference vit.py:338-346)."""
+    return nn.Dense(
+        features=features,
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=trunc_normal_init,
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )
+
+
+def patch_shift(images: jax.Array, patch_size: int) -> jax.Array:
+    """Shifted Patch Tokenization: concat the image with its four diagonal
+    half-patch shifts (zero padded) along channels (reference vit.py:15-38)."""
+    shift = patch_size // 2
+    padded = jnp.pad(
+        images, ((0, 0), (0, 0), (shift, shift), (shift, shift)), mode="constant"
+    )
+    left_upper = padded[..., : -shift * 2, : -shift * 2]
+    right_upper = padded[..., : -shift * 2, shift * 2 :]
+    left_bottom = padded[..., shift * 2 :, : -shift * 2]
+    right_bottom = padded[..., shift * 2 :, shift * 2 :]
+    return jnp.concatenate(
+        [images, left_upper, right_upper, left_bottom, right_bottom], axis=1
+    )
+
+
+class Image2Patches(nn.Module):
+    image_shape: t.Tuple[int, int, int]  # (C, H, W)
+    patch_mode: int
+    patch_size: int
+    stride: int
+    emb_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = None
+
+    @property
+    def num_patches(self) -> int:
+        _, h, w = self.image_shape
+        n = unfold_output_size(h, self.patch_size, self.stride) * unfold_output_size(
+            w, self.patch_size, self.stride
+        )
+        return n + 1  # + CLS
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
+        b = inputs.shape[0]
+        p, s = self.patch_size, self.stride
+        if self.patch_mode == 0:
+            patches = unfold_patches(inputs, p, s)
+            patches = _dense(self.emb_dim, dtype=self.dtype, name="projection")(patches)
+        elif self.patch_mode == 1:
+            x = jnp.transpose(inputs, (0, 2, 3, 1))  # NCHW -> NHWC
+            x = nn.Conv(
+                features=self.emb_dim,
+                kernel_size=(p, p),
+                strides=(s, s),
+                padding="VALID",
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+                name="projection",
+            )(x)
+            patches = x.reshape(b, -1, self.emb_dim)
+        elif self.patch_mode == 2:
+            shifted = patch_shift(inputs, p)
+            patches = unfold_patches(shifted, p, s)
+            patches = nn.LayerNorm(name="patch_norm")(patches)
+            patches = _dense(self.emb_dim, dtype=self.dtype, name="projection")(patches)
+        elif self.patch_mode == 3:
+            patches = unfold_patches(inputs, p, s)
+            patches = nn.LayerNorm(name="pre_norm")(patches)
+            patches = _dense(self.emb_dim, dtype=self.dtype, name="projection")(patches)
+            patches = nn.LayerNorm(name="post_norm")(patches)
+        else:
+            raise NotImplementedError(f"patch_mode {self.patch_mode} not implemented.")
+
+        # CLS token and positional embedding are ~N(0, 1) like the reference's
+        # torch.randn parameters (vit.py:103-105).
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, self.emb_dim)
+        )
+        pos_embedding = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=1.0),
+            (self.num_patches, self.emb_dim),
+        )
+        tokens = jnp.concatenate(
+            [jnp.tile(cls_token, (b, 1, 1)).astype(patches.dtype), patches], axis=1
+        )
+        tokens = tokens + pos_embedding.astype(tokens.dtype)
+        tokens = nn.Dropout(rate=self.dropout, deterministic=not train)(tokens)
+        return tokens
+
+
+class BehaviorMLP(nn.Module):
+    """behavior state -> per-block latent added to every token.
+
+    behavior_mode 2: input (pupil, dpupil, speed); 3: + pupil center (x, y);
+    4: like 3 but one MLP per mouse (reference vit.py:157-202).
+    """
+
+    behavior_mode: int
+    out_dim: int
+    mouse_ids: t.Tuple[str, ...]
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, behaviors: jax.Array, mouse_id: str) -> jax.Array:
+        assert self.behavior_mode in (2, 3, 4)
+        name = mouse_id if self.behavior_mode == 4 else "share"
+        x = _dense(
+            self.out_dim // 2, use_bias=self.use_bias, dtype=self.dtype,
+            name=f"{name}_fc1",
+        )(behaviors)
+        x = jnp.tanh(x)
+        x = _dense(
+            self.out_dim, use_bias=self.use_bias, dtype=self.dtype,
+            name=f"{name}_fc2",
+        )(x)
+        return jnp.tanh(x)
+
+
+class Attention(nn.Module):
+    num_patches: int
+    emb_dim: int
+    num_heads: int = 8
+    dropout: float = 0.0
+    use_lsa: bool = False
+    use_bias: bool = True
+    dtype: Dtype = None
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, inputs: jax.Array, train: bool = False, return_probs: bool = False
+    ):
+        b, n, _ = inputs.shape
+        inner_dim = self.emb_dim * self.num_heads
+
+        x = nn.LayerNorm(name="layer_norm")(inputs)
+        qkv = nn.Dense(
+            features=inner_dim * 3,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="to_qkv",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(y):
+            return jnp.transpose(
+                y.reshape(b, n, self.num_heads, self.emb_dim), (0, 2, 1, 3)
+            )
+
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
+
+        base_scale = self.emb_dim**-0.5
+        if self.use_lsa:
+            # learnable per-head temperature (reference vit.py:236-239)
+            scale = self.param(
+                "scale",
+                lambda key, shape: jnp.full(shape, base_scale, jnp.float32),
+                (self.num_heads,),
+            )
+        else:
+            scale = jnp.asarray(base_scale, jnp.float32)
+
+        rng = None
+        if self.dropout > 0.0 and train:
+            rng = self.make_rng("dropout")
+        result = multi_head_attention(
+            q,
+            k,
+            v,
+            scale,
+            use_lsa=self.use_lsa,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            rng=rng,
+            impl=self.attention_impl,
+            return_probs=return_probs,
+        )
+        out, probs = result if return_probs else (result, None)
+
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, inner_dim)
+        out = _dense(
+            self.emb_dim, use_bias=self.use_bias, dtype=self.dtype, name="projection"
+        )(out)
+        out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
+        if return_probs:
+            return out, probs
+        return out
+
+
+class MLP(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.LayerNorm(name="layer_norm")(inputs)
+        x = _dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
+        # torch nn.GELU default is the exact erf formulation
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        x = _dense(self.out_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        return x
+
+
+class Transformer(nn.Module):
+    num_patches: int
+    emb_dim: int
+    num_blocks: int
+    num_heads: int
+    mlp_dim: int
+    dropout: float
+    behavior_mode: int
+    mouse_ids: t.Tuple[str, ...]
+    use_lsa: bool = False
+    drop_path_rate: float = 0.0
+    use_bias: bool = True
+    dtype: Dtype = None
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: jax.Array,
+        mouse_id: str,
+        behaviors: jax.Array,
+        train: bool = False,
+        return_probs: bool = False,
+    ):
+        outputs = inputs
+        all_probs = []
+        for i in range(self.num_blocks):
+            if self.behavior_mode in (2, 3, 4):
+                b_latent = BehaviorMLP(
+                    behavior_mode=self.behavior_mode,
+                    out_dim=self.emb_dim,
+                    mouse_ids=self.mouse_ids,
+                    use_bias=self.use_bias,
+                    dtype=self.dtype,
+                    name=f"block{i}_bmlp",
+                )(behaviors, mouse_id=mouse_id)
+                # added to every token including CLS (reference vit.py:356-359)
+                outputs = outputs + b_latent[:, None, :].astype(outputs.dtype)
+
+            mha_out = Attention(
+                num_patches=self.num_patches,
+                emb_dim=self.emb_dim,
+                num_heads=self.num_heads,
+                dropout=self.dropout,
+                use_lsa=self.use_lsa,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                attention_impl=self.attention_impl,
+                name=f"block{i}_mha",
+            )(outputs, train=train, return_probs=return_probs)
+            if return_probs:
+                mha_out, probs = mha_out
+                all_probs.append(probs)
+            outputs = self._drop_path(mha_out, train) + outputs
+
+            mlp_out = MLP(
+                hidden_dim=self.mlp_dim,
+                out_dim=self.emb_dim,
+                dropout=self.dropout,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name=f"block{i}_mlp",
+            )(outputs, train=train)
+            outputs = self._drop_path(mlp_out, train) + outputs
+
+        if return_probs:
+            # (B, blocks, heads, N, N) like the reference Recorder
+            # (src/v1t/utils/attention_rollout.py:49-77)
+            return outputs, jnp.stack(all_probs, axis=1)
+        return outputs
+
+    def _drop_path(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.drop_path_rate == 0.0 or not train:
+            return x
+        return drop_path(
+            x,
+            rate=self.drop_path_rate,
+            deterministic=False,
+            rng=self.make_rng("droppath"),
+        )
+
+
+@register_core("vit")
+class ViTCore(nn.Module):
+    """input (B, C, H, W) images + behavior state -> (B, emb_dim, h, w)
+    feature map."""
+
+    image_shape: t.Tuple[int, int, int]
+    mouse_ids: t.Tuple[str, ...]
+    behavior_mode: int = 0
+    patch_mode: int = 0
+    patch_size: int = 8
+    patch_stride: int = 1
+    num_blocks: int = 4
+    num_heads: int = 4
+    emb_dim: int = 155
+    mlp_dim: int = 488
+    p_dropout: float = 0.0
+    t_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    use_lsa: bool = False
+    use_bias: bool = True
+    dtype: Dtype = None
+    attention_impl: str = "auto"
+
+    @classmethod
+    def from_config(cls, config, image_shape, mouse_ids, dtype=None):
+        return cls(
+            image_shape=tuple(image_shape),
+            mouse_ids=tuple(mouse_ids),
+            behavior_mode=config.behavior_mode,
+            patch_mode=config.patch_mode,
+            patch_size=config.patch_size,
+            patch_stride=config.patch_stride,
+            num_blocks=config.num_blocks,
+            num_heads=config.num_heads,
+            emb_dim=config.emb_dim,
+            mlp_dim=config.mlp_dim,
+            p_dropout=config.p_dropout,
+            t_dropout=config.t_dropout,
+            drop_path_rate=config.drop_path,
+            use_lsa=config.use_lsa,
+            use_bias=not config.disable_bias,
+            dtype=dtype,
+            attention_impl=config.attention_impl,
+        )
+
+    @property
+    def num_patches(self) -> int:
+        _, h, w = self.image_shape
+        return unfold_output_size(h, self.patch_size, self.patch_stride) * (
+            unfold_output_size(w, self.patch_size, self.patch_stride)
+        )
+
+    @property
+    def output_shape(self) -> t.Tuple[int, int, int]:
+        h, w = find_shape(self.num_patches)
+        return (self.emb_dim, h, w)
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: jax.Array,
+        mouse_id: str,
+        behaviors: jax.Array,
+        pupil_centers: jax.Array,
+        train: bool = False,
+        return_probs: bool = False,
+    ):
+        tokens = Image2Patches(
+            image_shape=self.image_shape,
+            patch_mode=self.patch_mode,
+            patch_size=self.patch_size,
+            stride=self.patch_stride,
+            emb_dim=self.emb_dim,
+            dropout=self.p_dropout,
+            dtype=self.dtype,
+            name="patch_embedding",
+        )(inputs, train=train)
+
+        if self.behavior_mode in (3, 4):
+            behaviors = jnp.concatenate([behaviors, pupil_centers], axis=-1)
+
+        outputs = Transformer(
+            num_patches=self.num_patches + 1,
+            emb_dim=self.emb_dim,
+            num_blocks=self.num_blocks,
+            num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim,
+            dropout=self.t_dropout,
+            behavior_mode=self.behavior_mode,
+            mouse_ids=self.mouse_ids,
+            use_lsa=self.use_lsa,
+            drop_path_rate=self.drop_path_rate,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            attention_impl=self.attention_impl,
+            name="transformer",
+        )(tokens, mouse_id=mouse_id, behaviors=behaviors, train=train,
+          return_probs=return_probs)
+        if return_probs:
+            outputs, probs = outputs
+
+        outputs = outputs[:, 1:, :]  # drop CLS token
+        b = outputs.shape[0]
+        h, w = find_shape(self.num_patches)
+        # (B, h*w, C) -> (B, C, h, w) (reference vit.py:408, 435)
+        outputs = jnp.transpose(
+            outputs.reshape(b, h, w, self.emb_dim), (0, 3, 1, 2)
+        )
+        if return_probs:
+            return outputs, probs
+        return outputs
+
+    @staticmethod
+    def regularizer(params: dict, reg_scale: float) -> jax.Array:
+        """L1 over ALL core parameters (reference vit.py:419-421)."""
+        leaves = jax.tree_util.tree_leaves(params)
+        return reg_scale * sum(jnp.sum(jnp.abs(p)) for p in leaves)

@@ -1,0 +1,41 @@
+"""Dense readout: Flatten -> Dense -> GELU -> Dropout(0.25) -> Dense
+(reference src/v1t/models/readout/dense.py:9-41)."""
+
+from __future__ import annotations
+
+import typing as t
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from v1t_tpu.data.cards import NeuronCard
+from v1t_tpu.models.registry import register_readout
+
+
+@register_readout("dense")
+class DenseReadout(nn.Module):
+    input_shape: t.Tuple[int, int, int]
+    neuron_card: NeuronCard
+    hidden_dim: int = 512
+    dropout: float = 0.25
+    dtype: t.Any = None
+
+    @property
+    def num_neurons(self) -> int:
+        return self.neuron_card.num_neurons
+
+    @nn.compact
+    def __call__(self, inputs, shifts=None, train=False, sample=None):
+        b = inputs.shape[0]
+        x = inputs.reshape(b, -1)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.num_neurons, dtype=self.dtype, name="fc2")(x)
+        return x
+
+    @staticmethod
+    def regularizer(params: dict, reg_scale: float) -> jax.Array:
+        leaves = jax.tree_util.tree_leaves(params)
+        return reg_scale * sum(jnp.sum(jnp.abs(p)) for p in leaves)

@@ -1,0 +1,77 @@
+"""Shared compute primitives: activations, stochastic depth, patch extraction."""
+
+from __future__ import annotations
+
+import typing as t
+
+import jax
+import jax.numpy as jnp
+
+
+def elu1(x: jax.Array) -> jax.Array:
+    """ELU(x) + 1 — keeps predicted firing rates positive.
+
+    Reference: src/v1t/models/utils.py:109-118.
+    """
+    return jax.nn.elu(x) + 1.0
+
+
+def drop_path(
+    x: jax.Array,
+    rate: float,
+    deterministic: bool,
+    rng: t.Optional[jax.Array],
+) -> jax.Array:
+    """Stochastic depth: drop whole residual branches per sample.
+
+    Reference: src/v1t/models/utils.py:121-141 — Bernoulli(keep) mask on the
+    batch axis, output scaled by 1/keep.
+    """
+    if rate == 0.0 or deterministic:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+
+
+def unfold_patches(images: jax.Array, patch_size: int, stride: int) -> jax.Array:
+    """Extract (patch_size x patch_size) patches with stride, flattened per
+    patch — the JAX equivalent of ``nn.Unfold`` + ``Rearrange('b c l -> b l c')``
+    in the reference tokenizer (src/v1t/models/core/vit.py:67-71).
+
+    Args:
+        images: (B, C, H, W).
+    Returns:
+        (B, L, C * patch_size * patch_size) where
+        L = floor((H - p)/s + 1) * floor((W - p)/s + 1); the feature axis is
+        ordered channel-major (c, ph, pw), matching torch's Unfold.
+    """
+    b = images.shape[0]
+    # conv_general_dilated_patches returns (B, C*p*p, H', W') with the feature
+    # dim ordered (c, ph, pw) — the same channel-major order as nn.Unfold.
+    patches = jax.lax.conv_general_dilated_patches(
+        images,
+        filter_shape=(patch_size, patch_size),
+        window_strides=(stride, stride),
+        padding="VALID",
+    )
+    d = patches.shape[1]
+    patches = patches.reshape(b, d, -1)  # (B, C*p*p, L)
+    return jnp.swapaxes(patches, 1, 2)  # (B, L, C*p*p)
+
+
+def find_shape(num_patches: int) -> t.Tuple[int, int]:
+    """Largest factor pair (h, w) with h <= sqrt(n) — the reference's latent
+    feature-map factorization (src/v1t/models/core/vit.py:411-417);
+    1653 -> (29, 57)."""
+    import math
+
+    dim1 = math.ceil(math.sqrt(num_patches))
+    while num_patches % dim1 != 0 and dim1 > 0:
+        dim1 -= 1
+    return dim1, num_patches // dim1
+
+
+def unfold_output_size(size: int, patch_size: int, stride: int, padding: int = 0) -> int:
+    return (size + 2 * padding - patch_size) // stride + 1

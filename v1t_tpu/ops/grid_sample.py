@@ -1,0 +1,117 @@
+"""Differentiable grid sampling on TPU via XLA gathers.
+
+Reproduces ``torch.nn.functional.grid_sample`` semantics with
+``align_corners=True`` and zero padding — the exact contract relied on by the
+reference's Gaussian2d readout (bilinear; reference
+src/v1t/models/readout/gaussian2d.py:270), image cropper (nearest; reference
+src/v1t/models/image_cropper.py:133) and spatial-transformer core (bilinear;
+reference src/v1t/models/core/stn.py:126).
+
+Instead of translating the CUDA kernel, sampling is expressed as four masked
+XLA gathers plus a weighted sum: XLA lowers the gathers onto the TPU's vector
+unit and fuses the interpolation arithmetic. Gradients flow through the
+interpolation weights (w.r.t. the grid) and through the gathered values
+(w.r.t. the input), matching torch's autograd behaviour for zero padding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jax.Array, size: int) -> jax.Array:
+    """Map [-1, 1] to pixel index space with align_corners=True: -1 -> 0,
+    +1 -> size-1."""
+    return (coord + 1.0) * 0.5 * (size - 1)
+
+
+def _gather_2d(flat: jax.Array, ix: jax.Array, iy: jax.Array, width: int) -> jax.Array:
+    """Gather values at integer pixel coords.
+
+    flat: (B, C, H*W); ix/iy: (B, P) int32 already clipped in-bounds.
+    Returns (B, C, P).
+    """
+    idx = iy * width + ix  # (B, P)
+    return jnp.take_along_axis(flat, idx[:, None, :], axis=2)
+
+
+def grid_sample(
+    inputs: jax.Array,
+    grid: jax.Array,
+    mode: str = "bilinear",
+) -> jax.Array:
+    """Sample ``inputs`` at (x, y) locations in ``grid``.
+
+    Args:
+        inputs: (B, C, H, W) feature map.
+        grid: (B, Hg, Wg, 2) sampling locations with (x, y) in [-1, 1];
+            align_corners=True convention, zero padding outside.
+        mode: "bilinear" or "nearest".
+    Returns:
+        (B, C, Hg, Wg) sampled values.
+    """
+    assert inputs.ndim == 4 and grid.ndim == 4 and grid.shape[-1] == 2
+    b, c, h, w = inputs.shape
+    gb, gh, gw, _ = grid.shape
+    assert gb == b, f"batch mismatch: {b} vs {gb}"
+
+    compute_dtype = jnp.promote_types(inputs.dtype, grid.dtype)
+    x = _unnormalize(grid[..., 0].astype(compute_dtype).reshape(b, gh * gw), w)
+    y = _unnormalize(grid[..., 1].astype(compute_dtype).reshape(b, gh * gw), h)
+    flat = inputs.astype(compute_dtype).reshape(b, c, h * w)
+
+    def corner_value(ix_i: jax.Array, iy_i: jax.Array) -> jax.Array:
+        valid = (
+            (ix_i >= 0) & (ix_i <= w - 1) & (iy_i >= 0) & (iy_i <= h - 1)
+        )  # (B, P)
+        ix_c = jnp.clip(ix_i, 0, w - 1).astype(jnp.int32)
+        iy_c = jnp.clip(iy_i, 0, h - 1).astype(jnp.int32)
+        vals = _gather_2d(flat, ix_c, iy_c, w)  # (B, C, P)
+        return jnp.where(valid[:, None, :], vals, jnp.zeros((), compute_dtype))
+
+    if mode == "nearest":
+        # torch rounds with round-half-to-even (std::nearbyint); jnp.round too.
+        ix = jnp.round(x).astype(jnp.int32)
+        iy = jnp.round(y).astype(jnp.int32)
+        out = corner_value(ix, iy)
+    elif mode == "bilinear":
+        ix0f = jnp.floor(x)
+        iy0f = jnp.floor(y)
+        ix0 = ix0f.astype(jnp.int32)
+        iy0 = iy0f.astype(jnp.int32)
+        ix1 = ix0 + 1
+        iy1 = iy0 + 1
+        # interpolation weights — differentiable w.r.t. the grid
+        wx1 = x - ix0f
+        wy1 = y - iy0f
+        wx0 = 1.0 - wx1
+        wy0 = 1.0 - wy1
+        v00 = corner_value(ix0, iy0)
+        v01 = corner_value(ix1, iy0)
+        v10 = corner_value(ix0, iy1)
+        v11 = corner_value(ix1, iy1)
+        out = (
+            v00 * (wx0 * wy0)[:, None, :]
+            + v01 * (wx1 * wy0)[:, None, :]
+            + v10 * (wx0 * wy1)[:, None, :]
+            + v11 * (wx1 * wy1)[:, None, :]
+        )
+    else:
+        raise ValueError(f"grid_sample mode {mode!r} not supported")
+
+    return out.reshape(b, c, gh, gw).astype(inputs.dtype)
+
+
+def resize_bilinear(images: jax.Array, height: int, width: int) -> jax.Array:
+    """Bilinear resize with half-pixel centers and no antialiasing.
+
+    Matches ``torchvision.transforms.Resize(size, antialias=False)`` /
+    ``F.interpolate(mode="bilinear", align_corners=False)`` used by the
+    reference's ImageCropper (reference src/v1t/models/image_cropper.py:96-99).
+    ``jax.image.resize(method="linear")`` uses the same half-pixel convention.
+    """
+    b, c, _, _ = images.shape
+    return jax.image.resize(
+        images, shape=(b, c, height, width), method="linear", antialias=False
+    )
