@@ -1,0 +1,248 @@
+"""Model assembly tests: shapes, per-mouse dispatch, forward contract,
+regularizer, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from v1t_tpu.configs import Config
+from v1t_tpu.data.cards import synthetic_data_card
+from v1t_tpu.models import build_model, model_regularizer
+from v1t_tpu.models.model import init_model, param_labels
+
+
+def _setup(behavior_mode=3, shift_mode=2, core="vit", readout="gaussian2d", **kw):
+    cfg = Config(
+        behavior_mode=behavior_mode,
+        shift_mode=shift_mode,
+        core=core,
+        readout=readout,
+        num_blocks=2,
+        emb_dim=16,
+        num_heads=2,
+        mlp_dim=24,
+        patch_size=4,
+        patch_stride=4,
+        precision="fp32",
+        resize_image=0,
+        **kw,
+    )
+    card = synthetic_data_card(
+        mouse_ids=("A", "B"), num_neurons=(50, 70), input_shape=(1, 16, 20)
+    )
+    model = build_model(cfg, card)
+    params = init_model(model, seed=0, batch_size=1)
+    return cfg, card, model, params
+
+
+def _batch(b=3):
+    rng = np.random.default_rng(0)
+    return (
+        jnp.asarray(rng.normal(size=(b, 1, 16, 20)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, 2)), jnp.float32),
+    )
+
+
+def test_forward_contract_and_shapes():
+    cfg, card, model, params = _setup()
+    images, behaviors, pupils = _batch()
+    for mouse_id, n in [("A", 50), ("B", 70)]:
+        out, cropped, grids = model.apply(
+            {"params": params},
+            images,
+            mouse_id=mouse_id,
+            behaviors=behaviors,
+            pupil_centers=pupils,
+        )
+        assert out.shape == (3, n)
+        assert cropped.shape == (3, 1, 16, 20)
+        assert grids.shape == (3, 16, 20, 2)
+        assert np.all(np.asarray(out) > 0)  # ELU1 output is positive
+
+    # activate=False skips ELU1 (ensemble path)
+    raw, _, _ = model.apply(
+        {"params": params},
+        images,
+        mouse_id="A",
+        behaviors=behaviors,
+        pupil_centers=pupils,
+        activate=False,
+    )
+    act, _, _ = model.apply(
+        {"params": params},
+        images,
+        mouse_id="A",
+        behaviors=behaviors,
+        pupil_centers=pupils,
+        activate=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(act), np.asarray(jax.nn.elu(raw) + 1), rtol=1e-6
+    )
+
+
+def test_param_structure_and_labels():
+    cfg, card, model, params = _setup()
+    # shift_mode=2: no image shifter -> no image_cropper params at all
+    assert set(params.keys()) == {"core", "core_shifter", "readouts"}
+    assert set(params["readouts"].keys()) == {"readout_A", "readout_B"}
+    assert set(params["core_shifter"].keys()) == {"shifter_A", "shifter_B"}
+
+    labels = param_labels(params)
+    assert labels["core"]["transformer"]["block0_mha"]["to_qkv"]["kernel"] == "core"
+    assert (
+        labels["readouts"]["readout_A"]["features"] == "rest"
+    )
+
+
+def test_shift_modes_module_presence():
+    for shift_mode, has_img, has_core in [
+        (0, False, False),
+        (1, True, False),
+        (2, False, True),
+        (3, True, True),
+        (4, True, True),
+    ]:
+        cfg, card, model, params = _setup(shift_mode=shift_mode, center_crop=0.8)
+        assert bool(params.get("image_cropper")) == has_img, shift_mode
+        assert ("core_shifter" in params) == has_core, shift_mode
+
+
+def test_behavior_mode_1_appends_channels():
+    cfg, card, model, params = _setup(behavior_mode=1, shift_mode=0)
+    images, behaviors, pupils = _batch()
+    out, cropped, _ = model.apply(
+        {"params": params},
+        images,
+        mouse_id="A",
+        behaviors=behaviors,
+        pupil_centers=pupils,
+    )
+    assert cropped.shape == (3, 4, 16, 20)  # 1 image + 3 behavior channels
+    # behavior channels are constant over space
+    np.testing.assert_allclose(
+        np.asarray(cropped[:, 1:, 0, 0]), np.asarray(behaviors), rtol=1e-6
+    )
+
+
+def test_behavior_mode_4_per_mouse_bmlp():
+    cfg, card, model, params = _setup(behavior_mode=4)
+    bmlp = params["core"]["transformer"]["block0_bmlp"]
+    assert "A_fc1" in bmlp and "B_fc1" in bmlp and "share_fc1" not in bmlp
+    cfg3, _, _, params3 = _setup(behavior_mode=3)
+    bmlp3 = params3["core"]["transformer"]["block0_bmlp"]
+    assert "share_fc1" in bmlp3 and "A_fc1" not in bmlp3
+
+
+def test_train_mode_stochastic_eval_deterministic():
+    cfg, card, model, params = _setup(t_dropout=0.3)
+    images, behaviors, pupils = _batch()
+    rngs = {"dropout": jax.random.key(1), "sample": jax.random.key(2)}
+    out1, _, _ = model.apply(
+        {"params": params}, images, mouse_id="A", behaviors=behaviors,
+        pupil_centers=pupils, train=True, rngs=rngs,
+    )
+    rngs2 = {"dropout": jax.random.key(3), "sample": jax.random.key(4)}
+    out2, _, _ = model.apply(
+        {"params": params}, images, mouse_id="A", behaviors=behaviors,
+        pupil_centers=pupils, train=True, rngs=rngs2,
+    )
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    # eval is deterministic
+    e1, _, _ = model.apply(
+        {"params": params}, images, mouse_id="A", behaviors=behaviors,
+        pupil_centers=pupils, train=False,
+    )
+    e2, _, _ = model.apply(
+        {"params": params}, images, mouse_id="A", behaviors=behaviors,
+        pupil_centers=pupils, train=False,
+    )
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_regularizer_positive_and_mouse_specific():
+    cfg, card, model, params = _setup(
+        shift_mode=3, center_crop=0.8,
+        core_reg_scale=0.5, readout_reg_scale=0.01,
+        cropper_reg_scale=0.1, shifter_reg_scale=0.1,
+    )
+    reg_a = float(model_regularizer(cfg, params, mouse_id="A"))
+    reg_b = float(model_regularizer(cfg, params, mouse_id="B"))
+    assert reg_a > 0 and reg_b > 0
+    assert reg_a != reg_b  # different per-mouse readouts/shifters
+    # frozen core drops the core term
+    reg_frozen = float(model_regularizer(cfg, params, mouse_id="A", core_frozen=True))
+    assert reg_frozen < reg_a
+
+
+def test_gradients_flow_everywhere():
+    cfg, card, model, params = _setup(shift_mode=3, center_crop=0.8)
+    images, behaviors, pupils = _batch()
+
+    def loss_fn(p):
+        out, _, _ = model.apply(
+            {"params": p}, images, mouse_id="A", behaviors=behaviors,
+            pupil_centers=pupils,
+        )
+        return jnp.sum(out)
+
+    grads = jax.grad(loss_fn)(params)
+    # core, mouse-A readout, mouse-A shifters get nonzero grads
+    core_norm = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads["core"])
+    )
+    ra = sum(
+        float(jnp.sum(jnp.abs(g)))
+        for g in jax.tree_util.tree_leaves(grads["readouts"]["readout_A"])
+    )
+    rb = sum(
+        float(jnp.sum(jnp.abs(g)))
+        for g in jax.tree_util.tree_leaves(grads["readouts"]["readout_B"])
+    )
+    sa = sum(
+        float(jnp.sum(jnp.abs(g)))
+        for g in jax.tree_util.tree_leaves(grads["core_shifter"]["shifter_A"])
+    )
+    assert core_norm > 0 and ra > 0 and sa > 0
+    assert rb == 0  # mouse B untouched this step
+
+
+def test_secondary_cores_and_readouts():
+    for core in ("linear", "mixer"):
+        cfg, card, model, params = _setup(core=core, behavior_mode=0, shift_mode=0)
+        images, behaviors, pupils = _batch()
+        out, _, _ = model.apply(
+            {"params": params}, images, mouse_id="A", behaviors=behaviors,
+            pupil_centers=pupils,
+        )
+        assert out.shape == (3, 50)
+    for readout in ("dense", "linear"):
+        cfg, card, model, params = _setup(readout=readout, behavior_mode=0,
+                                          shift_mode=0)
+        images, behaviors, pupils = _batch()
+        out, _, _ = model.apply(
+            {"params": params}, images, mouse_id="A", behaviors=behaviors,
+            pupil_centers=pupils,
+        )
+        assert out.shape == (3, 50)
+
+
+def test_gaussian2d_eval_uses_mu_train_samples():
+    cfg, card, model, params = _setup()
+    images, behaviors, pupils = _batch()
+    # two eval passes identical; two train passes with different sample rngs differ
+    kw = dict(mouse_id="A", behaviors=behaviors, pupil_centers=pupils)
+    e1, _, _ = model.apply({"params": params}, images, **kw)
+    e2, _, _ = model.apply({"params": params}, images, **kw)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    t1, _, _ = model.apply(
+        {"params": params}, images, train=True, **kw,
+        rngs={"dropout": jax.random.key(0), "sample": jax.random.key(1)},
+    )
+    t2, _, _ = model.apply(
+        {"params": params}, images, train=True, **kw,
+        rngs={"dropout": jax.random.key(0), "sample": jax.random.key(2)},
+    )
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))

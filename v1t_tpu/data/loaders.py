@@ -1,0 +1,201 @@
+"""Batch loaders over MouseDataset and the multi-mouse iteration schedule.
+
+Replaces the reference's torch DataLoader workers (reference
+data.py:437-541) with vectorized numpy batch assembly over the packed-array
+cache plus a background prefetch thread — the host stays ahead of the device
+without fork-based workers.
+
+``CycleLoaders`` reproduces the reference's round-robin interleave of
+per-mouse loaders where shorter loaders cycle until the longest is exhausted
+(len = num_mice x max_iterations; reference data.py:71-103).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import typing as t
+
+import numpy as np
+
+from v1t_tpu.data.cards import DataCard
+from v1t_tpu.data.datasets import MouseDataset, get_mouse2path
+
+
+class BatchLoader:
+    """Iterates transformed batches of one (mouse, tier) dataset."""
+
+    def __init__(
+        self,
+        dataset: MouseDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _iter_positions(self):
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        for start in range(0, n, self.batch_size):
+            pos = order[start : start + self.batch_size]
+            if self.drop_last and len(pos) < self.batch_size:
+                return
+            yield pos
+
+    def _iter_sync(self):
+        for pos in self._iter_positions():
+            batch = self.dataset.get_batch(pos)
+            batch["mouse_id"] = self.dataset.mouse_id
+            yield batch
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._iter_sync()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: t.List[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self._iter_sync():
+                    q.put(batch)
+            except BaseException as exc:  # surfaced in the consumer
+                error.append(exc)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+class CycleLoaders:
+    """Round-robin over per-mouse loaders until the largest is exhausted
+    (reference CycleDataloaders, data.py:71-103)."""
+
+    def __init__(self, ds: t.Dict[str, BatchLoader]):
+        self.ds = ds
+        self.max_iterations = max(len(loader) for loader in ds.values())
+
+    @staticmethod
+    def cycle(iterable):
+        iterator = iter(iterable)
+        while True:
+            try:
+                yield next(iterator)
+            except StopIteration:
+                iterator = iter(iterable)
+
+    def __iter__(self):
+        cycles = [self.cycle(loader) for loader in self.ds.values()]
+        for mouse_id, mouse_cycle, _ in zip(
+            self.cycle(self.ds.keys()),
+            self.cycle(cycles),
+            range(len(self.ds) * self.max_iterations),
+        ):
+            yield mouse_id, next(mouse_cycle)
+
+    def __len__(self) -> int:
+        return len(self.ds) * self.max_iterations
+
+
+def micro_batching(batch: t.Dict[str, np.ndarray], batch_size: int):
+    """Slice a batch dict into micro-batches (reference data.py:106-110)."""
+    indexes = np.arange(0, len(batch["image"]), step=batch_size, dtype=int)
+    for i in indexes:
+        yield {
+            k: v[i : i + batch_size] if isinstance(v, np.ndarray) else v
+            for k, v in batch.items()
+        }
+
+
+def build_data_card(
+    config, train_ds: t.Dict[str, BatchLoader]
+) -> DataCard:
+    cards = {
+        mouse_id: loader.dataset.neuron_card()
+        for mouse_id, loader in train_ds.items()
+    }
+    any_ds = next(iter(train_ds.values())).dataset
+    return DataCard(
+        ds_name=config.ds_name,
+        input_shape=tuple(any_ds.image_shape),
+        mouse_ids=tuple(train_ds.keys()),
+        neuron_cards=cards,
+        ds_sizes={m: len(loader.dataset) for m, loader in train_ds.items()},
+    )
+
+
+def get_training_ds(
+    config,
+    data_dir: str,
+    mouse_ids: t.List[str],
+    batch_size: int = 1,
+) -> t.Tuple[dict, dict, dict, DataCard]:
+    """Per-mouse train/validation/test loaders + the run DataCard
+    (reference data.py:437-491; the DataCard replaces the args mutation)."""
+    train_ds, val_ds, test_ds = {}, {}, {}
+    for mouse_id in mouse_ids:
+        train_ds[mouse_id] = BatchLoader(
+            MouseDataset(config, tier="train", data_dir=data_dir, mouse_id=mouse_id),
+            batch_size=batch_size,
+            shuffle=True,
+            seed=config.seed,
+        )
+        val_ds[mouse_id] = BatchLoader(
+            MouseDataset(
+                config, tier="validation", data_dir=data_dir, mouse_id=mouse_id
+            ),
+            batch_size=batch_size,
+        )
+        test_ds[mouse_id] = BatchLoader(
+            MouseDataset(config, tier="test", data_dir=data_dir, mouse_id=mouse_id),
+            batch_size=batch_size,
+        )
+    card = build_data_card(config, train_ds)
+    # keep the args.yaml replay contract fields (reference data.py:487-489)
+    config.output_shapes = {m: (c.num_neurons,) for m, c in card.neuron_cards.items()}
+    config.input_shape = card.input_shape
+    return train_ds, val_ds, test_ds, card
+
+
+def get_submission_ds(
+    config, data_dir: str, batch_size: int
+) -> t.Tuple[dict, dict]:
+    """Live-test + final-test loaders for submission (reference
+    data.py:494-541). final_test exists only for S0/S1."""
+    test_ds, final_test_ds = {}, {}
+    for mouse_id in list(config.output_shapes.keys()):
+        test_ds[mouse_id] = BatchLoader(
+            MouseDataset(config, tier="test", data_dir=data_dir, mouse_id=mouse_id),
+            batch_size=batch_size,
+        )
+        if mouse_id in ("S0", "S1"):
+            final_test_ds[mouse_id] = BatchLoader(
+                MouseDataset(
+                    config, tier="final_test", data_dir=data_dir, mouse_id=mouse_id
+                ),
+                batch_size=batch_size,
+            )
+    return test_ds, final_test_ds

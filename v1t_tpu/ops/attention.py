@@ -92,11 +92,9 @@ def multi_head_attention(
     if return_probs:
         impl = "xla"
     if impl == "auto":
-        on_tpu = q.devices() == set() or any(
-            d.platform == "tpu" for d in jax.devices()
-        )
-        # the flash kernel needs attention dropout fused in; it supports it,
-        # but tiny sequences aren't worth the kernel launch
+        platform = jax.default_backend()
+        on_tpu = platform in ("tpu", "axon")
+        # tiny sequences aren't worth a kernel launch
         impl = "pallas" if (on_tpu and q.shape[2] >= 256) else "xla"
     if impl == "pallas":
         from v1t_tpu.ops.flash_attention import flash_attention
