@@ -1,0 +1,242 @@
+"""End-to-end training tests on the synthetic fixture: the loss must go
+down, the scheduler must checkpoint/rollback/early-stop correctly, and
+training must resume from checkpoints (SURVEY.md §4 integration oracle)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from v1t_tpu import training
+from v1t_tpu.configs import Config
+from v1t_tpu.data import get_mouse_ids, get_training_ds
+from v1t_tpu.data.synthetic import generate_dataset
+from v1t_tpu.models import build_model
+from v1t_tpu.models.model import init_model
+from v1t_tpu.optim import get_learning_rates
+from v1t_tpu.utils.scheduler import Scheduler
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    return generate_dataset(str(root), ds_name="sensorium", mouse_ids=("A", "B"))
+
+
+def _small_config(data_dir, out_dir, **kw):
+    defaults = dict(
+        dataset=data_dir,
+        output_dir=str(out_dir),
+        behavior_mode=3,
+        shift_mode=2,
+        core="vit",
+        readout="gaussian2d",
+        batch_size=16,
+        num_blocks=2,
+        emb_dim=16,
+        num_heads=2,
+        mlp_dim=32,
+        patch_size=8,
+        patch_stride=4,
+        p_dropout=0.0,
+        t_dropout=0.1,
+        lr=3e-3,
+        core_reg_scale=0.0,
+        readout_reg_scale=0.0,
+        precision="fp32",
+        verbose=0,
+        mouse_ids=["A", "B"],
+    )
+    defaults.update(kw)
+    cfg = Config(**defaults)
+    get_mouse_ids(cfg)
+    return cfg
+
+
+def _build(cfg):
+    train_ds, val_ds, test_ds, card = get_training_ds(
+        cfg, data_dir=cfg.dataset, mouse_ids=cfg.mouse_ids,
+        batch_size=cfg.batch_size,
+    )
+    model = build_model(cfg, card)
+    params = init_model(model, seed=cfg.seed)
+    trainer = training.Trainer(cfg, model, params, card)
+    return train_ds, val_ds, test_ds, card, trainer
+
+
+def test_loss_decreases_and_validation_works(data_dir, tmp_path):
+    cfg = _small_config(data_dir, tmp_path / "run")
+    train_ds, val_ds, test_ds, card, trainer = _build(cfg)
+
+    first = training.train_epoch(trainer, ds=train_ds, epoch=1)
+    losses = [first["loss"]]
+    for epoch in range(2, 11):
+        losses.append(training.train_epoch(trainer, ds=train_ds, epoch=epoch)["loss"])
+    assert losses[-1] < losses[0], f"training loss did not decrease: {losses}"
+
+    val = training.validate(trainer, ds=val_ds, epoch=10)
+    assert np.isfinite(val["loss"])
+    assert "single_trial_correlation" in val
+    # synthetic data has real structure: after a few epochs corr must be
+    # clearly positive
+    assert val["single_trial_correlation"] > 0.05, val
+
+
+def test_evaluate_writes_yaml(data_dir, tmp_path):
+    cfg = _small_config(data_dir, tmp_path / "run")
+    train_ds, val_ds, test_ds, card, trainer = _build(cfg)
+    result = training.evaluate(
+        cfg, trainer, ds=test_ds, epoch=0, save_result=cfg.output_dir
+    )
+    assert "single_trial_correlation" in result
+    assert "correlation_to_average" in result  # test tier has repeats
+    assert "feve" in result
+    assert os.path.exists(os.path.join(cfg.output_dir, "evaluation.yaml"))
+
+
+def test_scheduler_state_machine(tmp_path):
+    """Improvement -> checkpoint; plateau -> rollback + lr decay; early stop
+    after max_reduce reductions (reference scheduler.py:173-197)."""
+    cfg = Config(output_dir=str(tmp_path / "sched"), verbose=0)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    import jax.numpy as jnp
+    import optax
+
+    from v1t_tpu import optim as vopt
+
+    params = {"core": {"w": jnp.ones(3)}, "readouts": {"readout_A": {"b": jnp.zeros(2)}}}
+    tx, opt_state = vopt.build_optimizer(cfg, params)
+    sched = Scheduler(cfg, mode="max", lr_patience=1, max_reduce=2)
+
+    lr0 = get_learning_rates(opt_state)["core"]
+
+    # epoch 1: improvement -> checkpoint saved
+    stop, params, opt_state = sched.step(0.5, 1, params, opt_state)
+    assert not stop and os.path.exists(sched.checkpoint_path)
+    assert sched.best_value == 0.5
+
+    # mutate params; epochs of no improvement -> wait, then rollback + decay
+    params = {"core": {"w": jnp.full(3, 9.0)}, "readouts": params["readouts"]}
+    stop, params, opt_state = sched.step(0.4, 2, params, opt_state)  # wait 1
+    assert not stop
+    stop, params, opt_state = sched.step(0.4, 3, params, opt_state)  # reduce 1
+    assert not stop
+    np.testing.assert_allclose(np.asarray(params["core"]["w"]), 1.0)  # rolled back
+    lr1 = get_learning_rates(opt_state)["core"]
+    np.testing.assert_allclose(lr1, 0.3 * lr0, rtol=1e-5)
+
+    stop, params, opt_state = sched.step(0.4, 4, params, opt_state)  # wait
+    stop, params, opt_state = sched.step(0.4, 5, params, opt_state)  # reduce 2
+    assert not stop
+    lr2 = get_learning_rates(opt_state)["core"]
+    np.testing.assert_allclose(lr2, 0.09 * lr0, rtol=1e-5)
+
+    stop, params, opt_state = sched.step(0.4, 6, params, opt_state)  # wait
+    stop, params, opt_state = sched.step(0.4, 7, params, opt_state)  # terminate
+    assert stop
+
+    # improvement resets counters
+    sched2 = Scheduler(cfg, mode="max", lr_patience=1, max_reduce=2)
+    sched2.num_reduce = 2
+    stop, params, opt_state = sched2.step(0.9, 8, params, opt_state)
+    assert not stop and sched2.num_reduce == 0
+
+
+def test_checkpoint_resume(data_dir, tmp_path):
+    """Restoring {params, optimizer, scheduler} must resume training exactly
+    where it stopped (reference scheduler.py:104-144)."""
+    cfg = _small_config(data_dir, tmp_path / "resume")
+    train_ds, val_ds, _, card, trainer = _build(cfg)
+    sched = Scheduler(cfg, mode="max")
+
+    training.train_epoch(trainer, ds=train_ds, epoch=1)
+    val = training.validate(trainer, ds=val_ds, epoch=1)
+    stop, trainer.params, trainer.opt_state = sched.step(
+        val["single_trial_correlation"], 1, trainer.params, trainer.opt_state
+    )
+    best = sched.best_value
+
+    # fresh trainer + scheduler restore
+    _, _, _, _, trainer2 = _build(cfg)
+    sched2 = Scheduler(cfg, mode="max")
+    epoch, trainer2.params, trainer2.opt_state = sched2.restore(
+        trainer2.params, trainer2.opt_state,
+        load_optimizer=True, load_scheduler=True,
+    )
+    assert epoch == 1
+    assert sched2.best_value == best
+    # params identical to the checkpointed ones
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.params),
+        jax.tree_util.tree_leaves(trainer2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # optimizer moments restored (non-zero after an update)
+    mu_leaves = jax.tree_util.tree_leaves(
+        trainer2.opt_state.inner_states["rest"].inner_state
+    )
+    assert any(np.any(np.asarray(leaf) != 0) for leaf in mu_leaves
+               if hasattr(leaf, "shape"))
+
+
+def test_micro_batching_grads_match_full_batch(data_dir, tmp_path):
+    """Gradient accumulation over micro-batches must equal the full-batch
+    gradient (the ds_scale/reg_weight bookkeeping of reference
+    train.py:56-76)."""
+    import jax
+
+    cfg_full = _small_config(data_dir, tmp_path / "full", t_dropout=0.0,
+                             core_reg_scale=0.1, readout_reg_scale=0.01)
+    train_ds, _, _, card, trainer_full = _build(cfg_full)
+    batch = next(iter(train_ds["A"]))
+
+    cfg_micro = _small_config(data_dir, tmp_path / "micro", t_dropout=0.0,
+                              core_reg_scale=0.1, readout_reg_scale=0.01,
+                              micro_batch_size=6)
+    _, _, _, _, trainer_micro = _build(cfg_micro)
+    # identical initial params (same seed) — verify
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer_full.params),
+        jax.tree_util.tree_leaves(trainer_micro.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # readout sampling noise differs between the two paths (different rng
+    # folds), so compare with sampling disabled via eval-mode gradient:
+    # instead, drive both through train_step with dropout=0 and compare the
+    # accumulated readout-feature gradient against tolerance
+    acc_f, _ = trainer_full.train_step("A", batch, acc_grads=None, update=False)
+    acc_m, _ = trainer_micro.train_step("A", batch, acc_grads=None, update=False)
+    gf = np.asarray(acc_f["readouts"]["readout_A"]["bias"])
+    gm = np.asarray(acc_m["readouts"]["readout_A"]["bias"])
+    # bias grad is independent of grid sampling noise:
+    # d/db sum(ELU1(...)+b terms) — compare exactly
+    np.testing.assert_allclose(gf, gm, rtol=1e-4, atol=1e-5)
+
+
+def test_frozen_core_gets_no_updates(data_dir, tmp_path):
+    import jax
+
+    cfg = _small_config(data_dir, tmp_path / "frozen")
+    train_ds, val_ds, test_ds, card = get_training_ds(
+        cfg, data_dir=cfg.dataset, mouse_ids=cfg.mouse_ids,
+        batch_size=cfg.batch_size,
+    )[0:3] + (None,)
+    train_ds, val_ds, test_ds, card = get_training_ds(
+        cfg, data_dir=cfg.dataset, mouse_ids=cfg.mouse_ids,
+        batch_size=cfg.batch_size,
+    )
+    model = build_model(cfg, card)
+    params = init_model(model, seed=cfg.seed)
+    trainer = training.Trainer(cfg, model, params, card, core_frozen=True)
+    core_before = jax.tree_util.tree_map(np.asarray, trainer.params["core"])
+    training.train_epoch(trainer, ds=train_ds, epoch=1)
+    core_after = trainer.params["core"]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(core_before),
+        jax.tree_util.tree_leaves(core_after),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

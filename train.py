@@ -1,0 +1,307 @@
+"""Train a V1T-family model on Sensorium/Franke2022 — TPU-native rebuild of
+the reference CLI (reference train.py:328-661; same flag names and tuned
+defaults).
+
+Example:
+    python train.py --dataset data/sensorium --output_dir runs/v1t \\
+        --core vit --readout gaussian2d --behavior_mode 3 --batch_size 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+
+from v1t_tpu import training
+from v1t_tpu.configs import Config, save_args
+from v1t_tpu.data import get_mouse_ids, get_training_ds
+from v1t_tpu.models import build_model
+from v1t_tpu.models.model import init_model
+from v1t_tpu.parallel.mesh import DataParallel
+from v1t_tpu.pretrained import load_pretrain_core
+from v1t_tpu.utils.logger import Logger
+from v1t_tpu.utils.scheduler import Scheduler
+from v1t_tpu.utils.tensorboard import Summary
+
+
+def main(config: Config, wandb_sweep: bool = False):
+    if config.clear_output_dir and os.path.isdir(config.output_dir):
+        shutil.rmtree(config.output_dir)
+    os.makedirs(config.output_dir, exist_ok=True)
+
+    logger = Logger(config.output_dir)
+    np.random.seed(config.seed)
+
+    get_mouse_ids(config)
+    train_ds, val_ds, test_ds, card = get_training_ds(
+        config,
+        data_dir=config.dataset,
+        mouse_ids=config.mouse_ids,
+        batch_size=config.batch_size,
+    )
+    summary = Summary(config)
+
+    model = build_model(config, card)
+    params = init_model(model, seed=config.seed)
+
+    core_frozen = False
+    if config.pretrain_core:
+        params = load_pretrain_core(config, params)
+        core_frozen = True
+
+    num_params = sum(
+        int(np.prod(p.shape))
+        for p in __import__("jax").tree_util.tree_leaves(params)
+    )
+    config.trainable_params = num_params
+    if config.verbose:
+        print(f"Model parameters: {num_params:,}")
+
+    mesh = None
+    if config.data_parallel != 1:
+        mesh = DataParallel.create(num_devices=config.data_parallel or None)
+        if mesh is not None and config.verbose:
+            print(f"Data parallel over {mesh.num_devices} device(s).")
+
+    trainer = training.Trainer(
+        config, model, params, card, core_frozen=core_frozen, mesh=mesh
+    )
+    scheduler = Scheduler(config, mode="max")
+
+    wandb_run = None
+    if config.use_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project="v1t_tpu",
+                group=config.wandb_group or None,
+                config={k: v for k, v in config.to_dict().items()
+                        if isinstance(v, (int, float, str, bool))},
+            )
+        except Exception as e:
+            print(f"wandb unavailable: {e}")
+
+    save_args(config)
+    epoch, trainer.params, trainer.opt_state = scheduler.restore(
+        trainer.params, trainer.opt_state,
+        load_optimizer=True, load_scheduler=True,
+    )
+
+    import time as _time
+
+    while (epoch := epoch + 1) < config.epochs + 1:
+        if config.verbose:
+            print(f"\nEpoch {epoch:03d}/{config.epochs:03d}")
+
+        start = _time.time()
+        train_result = training.train_epoch(
+            trainer, ds=train_ds, epoch=epoch, summary=summary
+        )
+        val_result = training.validate(
+            trainer, ds=val_ds, epoch=epoch, summary=summary
+        )
+        elapse = _time.time() - start
+
+        summary.scalar("model/elapse", value=elapse, step=epoch, mode=0)
+        from v1t_tpu.optim import get_learning_rates
+
+        for name, lr in get_learning_rates(trainer.opt_state).items():
+            summary.scalar(f"model/lr/{name}", value=lr, step=epoch)
+        if config.verbose:
+            print(
+                f'Train\t\tloss: {train_result["loss"]:.04f}\n'
+                f'Validation\tloss: {val_result["loss"]:.04f}\t'
+                f'correlation: {val_result["single_trial_correlation"]:.04f}\n'
+                f"Elapse: {elapse:.02f}s"
+            )
+        early_stop, trainer.params, trainer.opt_state = scheduler.step(
+            val_result["single_trial_correlation"],
+            epoch=epoch,
+            params=trainer.params,
+            opt_state=trainer.opt_state,
+        )
+        if wandb_run is not None:
+            wandb_run.log(
+                {
+                    "train_loss": train_result["loss"],
+                    "val_loss": val_result["loss"],
+                    "val_corr": val_result["single_trial_correlation"],
+                    "best_corr": scheduler.best_value,
+                    "elapse": elapse,
+                },
+                step=epoch,
+            )
+        if np.isnan(train_result["loss"]) or np.isnan(val_result["loss"]):
+            if wandb_run is not None:
+                wandb_run.finish(exit_code=1)
+            exit("\nNaN loss detected, terminate training.")
+        if early_stop:
+            break
+
+    _, trainer.params, _ = scheduler.restore(trainer.params)
+    eval_result = training.evaluate(
+        config,
+        trainer,
+        ds=test_ds,
+        epoch=epoch,
+        summary=summary,
+        mode=2,
+        print_result=True,
+        save_result=config.output_dir,
+    )
+    if wandb_run is not None and "single_trial_correlation" in eval_result:
+        wandb_run.log(
+            {"test_corr": eval_result["single_trial_correlation"]}, step=epoch
+        )
+    if config.verbose:
+        print(f"\nResults saved to {config.output_dir}.")
+    summary.close()
+    logger.close()
+    return eval_result
+
+
+# --- CLI --------------------------------------------------------------------
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--mouse_ids", nargs="+", type=str, default=None)
+    parser.add_argument(
+        "--behavior_mode", required=True, type=int, choices=[0, 1, 2, 3, 4]
+    )
+    parser.add_argument("--center_crop", type=float, default=1.0)
+    parser.add_argument("--resize_image", type=int, default=1, choices=[0, 1])
+    parser.add_argument("--gray_scale", action="store_true")
+    parser.add_argument("--limit_data", type=int, default=None)
+    parser.add_argument("--num_workers", type=int, default=2)
+    parser.add_argument("--epochs", type=int, default=400)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--micro_batch_size", type=int, default=0)
+    parser.add_argument("--device", type=str, default="",
+                        choices=["", "cpu", "tpu", "axon"])
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--amp", action="store_true",
+                        help="bf16 compute (TPU equivalent of AMP)")
+    parser.add_argument("--precision", type=str, default="bf16",
+                        choices=["bf16", "fp32"])
+    parser.add_argument("--attention_impl", type=str, default="auto",
+                        choices=["auto", "pallas", "xla"])
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="devices for DP; 0 = all local devices")
+    parser.add_argument("--grad_checkpointing", type=int, default=None,
+                        choices=[0, 1])
+    parser.add_argument("--deterministic", action="store_true")
+    parser.add_argument("--adam_beta1", type=float, default=0.9)
+    parser.add_argument("--adam_beta2", type=float, default=0.9999)
+    parser.add_argument("--adam_eps", type=float, default=1e-8)
+    parser.add_argument("--criterion", type=str, default="poisson")
+    parser.add_argument("--ds_scale", type=int, default=1, choices=[0, 1])
+    parser.add_argument("--pretrain_core", type=str, default="")
+    parser.add_argument("--save_plots", action="store_true")
+    parser.add_argument("--dpi", type=int, default=120)
+    parser.add_argument("--format", type=str, default="svg",
+                        choices=["pdf", "svg", "png"])
+    parser.add_argument("--use_wandb", action="store_true")
+    parser.add_argument("--wandb_group", type=str, default="")
+    parser.add_argument("--clear_output_dir", action="store_true")
+    parser.add_argument("--verbose", type=int, default=1, choices=[0, 1, 2, 3])
+
+
+def add_model_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--core", type=str, required=True)
+    parser.add_argument("--readout", type=str, required=True)
+    parser.add_argument("--shift_mode", type=int, default=2,
+                        choices=[0, 1, 2, 3, 4])
+
+    temp_args = parser.parse_known_args()[0]
+
+    # per-core hyper-parameters with the reference's tuned defaults
+    # (reference train.py:521-659)
+    if temp_args.core in ("vit", "cct"):
+        parser.add_argument("--patch_size", type=int, default=8)
+        if temp_args.core == "vit":
+            parser.add_argument("--patch_mode", type=int, default=0,
+                                choices=[0, 1, 2, 3])
+        parser.add_argument("--patch_stride", type=int, default=1)
+        parser.add_argument("--num_blocks", type=int, default=4)
+        parser.add_argument("--num_heads", type=int, default=4)
+        parser.add_argument(
+            "--emb_dim", type=int, default=155 if temp_args.core == "vit" else 160
+        )
+        parser.add_argument("--mlp_dim", type=int, default=488)
+        if temp_args.core == "cct":
+            parser.add_argument("--pos_emb", type=str, default="sine",
+                                choices=["sine", "learn", "none"])
+        parser.add_argument("--p_dropout", type=float, default=0.0229)
+        parser.add_argument("--t_dropout", type=float, default=0.2544)
+        parser.add_argument("--drop_path", type=float, default=0.0)
+        if temp_args.core == "vit":
+            parser.add_argument("--use_lsa", action="store_true")
+            parser.add_argument("--disable_bias", action="store_true")
+        parser.add_argument("--core_reg_scale", type=float, default=0.5379)
+        parser.add_argument("--lr", type=float, default=0.001647)
+        parser.add_argument("--core_lr", type=float, default=None)
+    elif temp_args.core == "stacked2d":
+        parser.add_argument("--num_layers", type=int, default=4)
+        parser.add_argument("--dropout", type=float, default=0.0)
+        parser.add_argument("--core_reg_input", type=float, default=6.3831)
+        parser.add_argument("--core_reg_hidden", type=float, default=0.0)
+        parser.add_argument("--linear", action="store_true")
+        parser.add_argument("--lr", type=float, default=0.009)
+        parser.add_argument("--core_lr", type=float, default=None)
+        parser.add_argument("--core_reg_scale", type=float, default=0.0)
+    elif temp_args.core == "stn":
+        parser.add_argument("--num_layers", type=int, default=7)
+        parser.add_argument("--num_filters", type=int, default=63)
+        parser.add_argument("--dropout", type=float, default=0.1135)
+        parser.add_argument("--core_reg_scale", type=float, default=0.0450)
+        parser.add_argument("--lr", type=float, default=0.001)
+        parser.add_argument("--core_lr", type=float, default=None)
+    else:  # linear / random / mixer baselines
+        parser.add_argument("--num_layers", type=int, default=4)
+        parser.add_argument("--num_filters", type=int, default=8)
+        parser.add_argument("--dropout", type=float, default=0.0)
+        parser.add_argument("--num_blocks", type=int, default=4)
+        parser.add_argument("--emb_dim", type=int, default=128)
+        parser.add_argument("--mlp_dim", type=int, default=256)
+        parser.add_argument("--patch_size", type=int, default=8)
+        parser.add_argument("--patch_stride", type=int, default=1)
+        parser.add_argument("--core_reg_scale", type=float, default=0.0)
+        parser.add_argument("--lr", type=float, default=0.001)
+        parser.add_argument("--core_lr", type=float, default=None)
+
+    # readout hyper-parameters (reference train.py:634-650)
+    if temp_args.readout == "gaussian2d":
+        parser.add_argument("--disable_grid_predictor", action="store_true")
+        parser.add_argument("--grid_predictor_dim", type=int, default=2,
+                            choices=[2, 3])
+        parser.add_argument("--bias_mode", type=int, default=0, choices=[0, 1, 2])
+        parser.add_argument("--readout_reg_scale", type=float, default=0.0076)
+    else:
+        parser.add_argument("--readout_reg_scale", type=float, default=0.0)
+
+    if temp_args.shift_mode in (1, 2, 3, 4):
+        parser.add_argument("--shifter_reg_scale", type=float, default=0.0)
+    if temp_args.shift_mode in (2, 3, 4):
+        parser.add_argument("--cropper_reg_scale", type=float, default=0.0)
+
+
+def parse_config() -> Config:
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    add_model_args(parser)
+    args = parser.parse_args()
+    known = {f.name for f in __import__("dataclasses").fields(Config)}
+    kwargs = {k: v for k, v in vars(args).items() if k in known and v is not None}
+    if args.amp:
+        kwargs["precision"] = "bf16"
+    return Config(**kwargs)
+
+
+if __name__ == "__main__":
+    main(parse_config())

@@ -80,7 +80,13 @@ def correlation(y1, y2, dim=-1, eps=1e-8, **kwargs):
 
 
 class Loss:
-    """Base criterion with per-mouse dataset-size loss scaling."""
+    """Base criterion with per-mouse dataset-size loss scaling.
+
+    All criteria accept an optional ``mask`` — per-sample 0/1 weights over
+    the batch axis — so padded (shape-stable) batches under jit compute the
+    exact loss of the un-padded batch. With mask=None the semantics are
+    bit-identical to the reference.
+    """
 
     def __init__(self, config, ds_sizes: t.Dict[str, int]):
         self.ds_scale = bool(config.ds_scale)
@@ -92,16 +98,31 @@ class Loss:
             loss = scale * loss
         return loss
 
-    def __call__(self, y_true, y_pred, mouse_id: str, batch_size=None):
+    def __call__(self, y_true, y_pred, mouse_id: str, batch_size=None, mask=None):
         raise NotImplementedError
+
+
+def _masked_sum(per_sample: jax.Array, mask) -> jax.Array:
+    """Sum per-sample losses, weighting by the optional batch mask."""
+    if mask is None:
+        return jnp.sum(per_sample)
+    return jnp.sum(per_sample * mask)
+
+
+def _batch_size(y_true, batch_size, mask):
+    if batch_size is not None:
+        return batch_size
+    if mask is not None:
+        return jnp.sum(mask)
+    return y_true.shape[0]
 
 
 @register("msse")
 class MSSE(Loss):
-    def __call__(self, y_true, y_pred, mouse_id: str, batch_size=None):
-        if batch_size is None:
-            batch_size = y_true.shape[0]
-        loss = msse(y_true=y_true, y_pred=y_pred, reduction="sum")
+    def __call__(self, y_true, y_pred, mouse_id: str, batch_size=None, mask=None):
+        batch_size = _batch_size(y_true, batch_size, mask)
+        per_sample = jnp.sum(jnp.square(y_true - y_pred), axis=-1)
+        loss = _masked_sum(per_sample, mask)
         return self.scale_ds(loss, mouse_id=mouse_id, batch_size=batch_size)
 
 
@@ -111,12 +132,12 @@ class PoissonLoss(Loss):
         super().__init__(config, ds_sizes)
         self.eps = eps
 
-    def __call__(self, y_true, y_pred, mouse_id: str, batch_size=None):
-        if batch_size is None:
-            batch_size = y_true.shape[0]
+    def __call__(self, y_true, y_pred, mouse_id: str, batch_size=None, mask=None):
+        batch_size = _batch_size(y_true, batch_size, mask)
         y_true = y_true + self.eps
         y_pred = y_pred + self.eps
-        loss = jnp.sum(y_pred - y_true * jnp.log(y_pred))
+        per_sample = jnp.sum(y_pred - y_true * jnp.log(y_pred), axis=-1)
+        loss = _masked_sum(per_sample, mask)
         return self.scale_ds(loss, mouse_id=mouse_id, batch_size=batch_size)
 
 
@@ -128,11 +149,20 @@ class Correlation(Loss):
         super().__init__(config, ds_sizes)
         self.eps = eps
 
-    def __call__(self, y_true, y_pred, mouse_id: str, batch_size=None):
-        if batch_size is None:
-            batch_size = y_true.shape[0]
+    def __call__(self, y_true, y_pred, mouse_id: str, batch_size=None, mask=None):
+        batch_size = _batch_size(y_true, batch_size, mask)
         num_neurons = y_true.shape[1]
-        corr = correlation(y1=y_true, y2=y_pred, dim=0, eps=self.eps)
+        if mask is None:
+            corr = correlation(y1=y_true, y2=y_pred, dim=0, eps=self.eps)
+        else:
+            w = mask[:, None] / jnp.sum(mask)
+
+            def standardize(y):
+                mean = jnp.sum(y * w, axis=0, keepdims=True)
+                var = jnp.sum(w * jnp.square(y - mean), axis=0, keepdims=True)
+                return (y - mean) / (jnp.sqrt(var) + self.eps)
+
+            corr = jnp.sum(standardize(y_true) * standardize(y_pred) * w, axis=0)
         loss = num_neurons - jnp.sum(corr)
         return self.scale_ds(loss, mouse_id=mouse_id, batch_size=batch_size)
 

@@ -1,0 +1,432 @@
+"""Blockwise flash-attention Pallas kernel for the V1T core.
+
+Replaces the reference's materialized (1654, 1654) attention matrix + AMP +
+per-attention gradient checkpointing (reference src/v1t/models/core/vit.py:
+253-284) with an O(N)-memory fused kernel:
+
+- online softmax over key blocks (running max/sum in fp32 VMEM scratch),
+- fp32 accumulation with ``preferred_element_type`` on every MXU matmul,
+- LSA support (per-head temperature folded into Q outside the kernel; the
+  diagonal mask applied inside, reference vit.py:256-261),
+- fused attention-probability dropout (reference vit.py:262-263): the 0/1
+  keep mask is regenerated from a per-(batch*head, q-block, k-block) seed in
+  both the forward and backward kernels, so nothing is stored,
+- custom VJP with separate dQ and dK/dV kernels (flash backward: recompute
+  p = exp(s - lse) blockwise; delta = rowsum(dO * O) precomputed once).
+
+Key padding is masked to -0.7*float32.max (not -inf, avoiding exp(-inf-(-inf))
+NaNs); query padding rows compute garbage that the wrapper slices off.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as t
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+BLOCK_Q = 128
+BLOCK_K = 128
+NUM_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dropout_keep_mask(seed_base, bh, qi, kj, nq, nk, shape, keep_prob: float):
+    """Deterministic per-(bh, q-block, k-block) keep mask, regenerable in
+    forward and backward kernels."""
+    pltpu.prng_seed(seed_base + (bh * nq + qi) * nk + kj)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(keep_prob * 4294967295.0)
+    return bits < threshold
+
+
+def _block_mask(qi, kj, shape, n_real: int, use_lsa: bool):
+    """True where the score is VALID. Masks padded keys and (LSA) the
+    diagonal."""
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kj * shape[1]
+    mask = col < n_real
+    if use_lsa:
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + qi * shape[0]
+        mask = jnp.logical_and(mask, row != col)
+    return mask
+
+
+# --- forward -------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    seed_ref,
+    q_ref, k_ref, v_ref,
+    o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, n_real: int, nq: int, nk: int, use_lsa: bool,
+    dropout_rate: float, deterministic: bool,
+):
+    bh, qi, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BLOCK_Q, D)
+    k = k_ref[0]  # (BLOCK_K, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BLOCK_Q, BLOCK_K)
+
+    mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
+    s = jnp.where(mask, s, MASK_VALUE)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:, :1] = m_next
+    l_scr[:, :1] = l_next
+
+    if dropout_rate > 0.0 and not deterministic:
+        keep = _dropout_keep_mask(
+            seed_ref[0], bh, qi, kj, nq, nk, s.shape, 1.0 - dropout_rate
+        )
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+
+    v = v_ref[0]  # (BLOCK_K, D)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kj == nk - 1)
+    def _store():
+        l_final = l_scr[:, :1]
+        l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse_ref[0, :] = (m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37)))
+
+
+def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate, deterministic):
+    bhn, n_pad, d_pad = q.shape
+    nq, nk = n_pad // BLOCK_Q, n_pad // BLOCK_K
+    kernel = functools.partial(
+        _fwd_kernel,
+        n_real=n_real,
+        nq=nq,
+        nk=nk,
+        use_lsa=use_lsa,
+        dropout_rate=dropout_rate,
+        deterministic=deterministic,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bhn, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj: (bh, kj, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj: (bh, kj, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),
+                pl.BlockSpec((1, BLOCK_Q), lambda bh, qi, kj: (bh, qi)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_Q, NUM_LANES), jnp.float32),
+                pltpu.VMEM((BLOCK_Q, NUM_LANES), jnp.float32),
+                pltpu.VMEM((BLOCK_Q, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bhn, n_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(seed, q, k, v)
+    return out, lse
+
+
+# --- backward ------------------------------------------------------------------
+
+
+def _dq_kernel(
+    seed_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *, n_real: int, nq: int, nk: int, use_lsa: bool,
+    dropout_rate: float, deterministic: bool,
+):
+    bh, qi, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :][:, None]  # (BLOCK_Q, 1)
+    delta = delta_ref[0, :][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
+    s = jnp.where(mask, s, MASK_VALUE)
+    p = jnp.exp(s - lse)
+
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLOCK_Q, BLOCK_K)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = _dropout_keep_mask(
+            seed_ref[0], bh, qi, kj, nq, nk, s.shape, 1.0 - dropout_rate
+        )
+        dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+
+    ds = p * (dp - delta)
+    dq_scr[...] += jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kj == nk - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    seed_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, n_real: int, nq: int, nk: int, use_lsa: bool,
+    dropout_rate: float, deterministic: bool,
+):
+    bh, kj, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :][:, None]
+    delta = delta_ref[0, :][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BLOCK_Q, BLOCK_K)
+    mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
+    s = jnp.where(mask, s, MASK_VALUE)
+    p = jnp.exp(s - lse)
+
+    if dropout_rate > 0.0 and not deterministic:
+        keep = _dropout_keep_mask(
+            seed_ref[0], bh, qi, kj, nq, nk, s.shape, 1.0 - dropout_rate
+        )
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_dropped = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(
+            keep,
+            jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * inv_keep,
+            0.0,
+        )
+    else:
+        p_dropped = p
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # dv += p_dropped^T @ dO
+    dv_scr[...] += jax.lax.dot_general(
+        p_dropped, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    # dk += ds^T @ q
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
+                    dropout_rate, deterministic):
+    bhn, n_pad, d_pad = q.shape
+    nq, nk = n_pad // BLOCK_Q, n_pad // BLOCK_K
+    delta = jnp.sum(
+        out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
+    )  # (BH, N)
+
+    common = dict(
+        n_real=n_real, nq=nq, nk=nk, use_lsa=use_lsa,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+    )
+    in_specs_q_major = [
+        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),  # q
+        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj: (bh, kj, 0)),  # k
+        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj: (bh, kj, 0)),  # v
+        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),  # do
+        pl.BlockSpec((1, BLOCK_Q), lambda bh, qi, kj: (bh, qi)),  # lse
+        pl.BlockSpec((1, BLOCK_Q), lambda bh, qi, kj: (bh, qi)),  # delta
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bhn, nq, nk),
+            in_specs=in_specs_q_major,
+            out_specs=[
+                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((BLOCK_Q, d_pad), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(seed, q, k, v, do, lse, delta)[0]
+
+    in_specs_k_major = [
+        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, kj, qi: (bh, qi, 0)),  # q
+        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi: (bh, kj, 0)),  # k
+        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi: (bh, kj, 0)),  # v
+        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, kj, qi: (bh, qi, 0)),  # do
+        pl.BlockSpec((1, BLOCK_Q), lambda bh, kj, qi: (bh, qi)),  # lse
+        pl.BlockSpec((1, BLOCK_Q), lambda bh, kj, qi: (bh, qi)),  # delta
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bhn, nk, nq),
+            in_specs=in_specs_k_major,
+            out_specs=[
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi: (bh, kj, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi: (bh, kj, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_K, d_pad), jnp.float32),
+                pltpu.VMEM((BLOCK_K, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(seed, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# --- custom VJP core -------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core(static_cfg, q, k, v, seed):
+    n_real, use_lsa, dropout_rate, deterministic = static_cfg
+    out, _ = _flash_forward(
+        q, k, v, seed,
+        n_real=n_real, use_lsa=use_lsa,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+    )
+    return out
+
+
+def _flash_core_fwd(static_cfg, q, k, v, seed):
+    n_real, use_lsa, dropout_rate, deterministic = static_cfg
+    out, lse = _flash_forward(
+        q, k, v, seed,
+        n_real=n_real, use_lsa=use_lsa,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+    )
+    return out, (q, k, v, seed, out, lse)
+
+
+def _flash_core_bwd(static_cfg, residuals, do):
+    n_real, use_lsa, dropout_rate, deterministic = static_cfg
+    q, k, v, seed, out, lse = residuals
+    dq, dk, dv = _flash_backward(
+        q, k, v, seed, out, lse, do,
+        n_real=n_real, use_lsa=use_lsa,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+    )
+    return dq, dk, dv, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+# --- public API ------------------------------------------------------------------
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: jax.Array,
+    *,
+    use_lsa: bool = False,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    rng: t.Optional[jax.Array] = None,
+):
+    """softmax(q k^T * scale) v with LSA + fused dropout; (B, H, N, D) in/out.
+
+    The (possibly per-head, learnable) ``scale`` is folded into Q outside the
+    kernel so its gradient flows through standard XLA autodiff; the custom
+    VJP covers only the blockwise attention itself.
+    """
+    b, h, n, d = q.shape
+    scale = jnp.asarray(scale, jnp.float32)
+    if scale.ndim == 1:
+        q = q * scale[None, :, None, None].astype(q.dtype)
+    else:
+        q = q * scale.astype(q.dtype)
+
+    n_pad = _round_up(n, max(BLOCK_Q, BLOCK_K))
+    d_pad = _round_up(d, 128)
+
+    def prep(x):
+        x = x.reshape(b * h, n, d)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+
+    if rng is None or deterministic or dropout_rate == 0.0:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+    static_cfg = (n, bool(use_lsa), float(dropout_rate), bool(deterministic))
+    out = _flash_core(static_cfg, qp, kp, vp, seed)
+    return out[:, :n, :d].reshape(b, h, n, d)

@@ -1,0 +1,89 @@
+"""Optimizer construction: AdamW with per-module learning-rate groups.
+
+The reference builds torch AdamW param groups — core at ``core_lr``,
+readouts/cropper/shifters at ``lr`` (reference model.py:112-139,
+train.py:217-223, weight_decay=0). Here that is an
+``optax.multi_transform`` over {"core", "rest"} labels, each arm wrapped in
+``optax.inject_hyperparams`` so the plateau scheduler can decay learning
+rates in-place (reference scheduler.py:162-171). A frozen core
+(``--pretrain_core``) maps to ``optax.set_to_zero`` on the core label
+(reference models/utils.py:14-30, model.py:183-185).
+"""
+
+from __future__ import annotations
+
+import typing as t
+
+import jax
+import optax
+
+from v1t_tpu.models.model import param_labels
+
+
+def build_optimizer(
+    config, params: dict, core_frozen: bool = False
+) -> t.Tuple[optax.GradientTransformation, t.Any]:
+    core_lr = config.lr if config.core_lr is None else config.core_lr
+
+    def adamw(lr):
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr,
+            b1=config.adam_beta1,
+            b2=config.adam_beta2,
+            eps=config.adam_eps,
+            weight_decay=0.0,
+        )
+
+    transforms = {
+        "core": optax.set_to_zero() if core_frozen else adamw(core_lr),
+        "rest": adamw(config.lr),
+    }
+    tx = optax.multi_transform(transforms, param_labels(params))
+    opt_state = tx.init(params)
+    return tx, opt_state
+
+
+def get_learning_rates(opt_state) -> t.Dict[str, float]:
+    """Current LR per group (for logging and checkpointing)."""
+    lrs = {}
+    for label, inner in opt_state.inner_states.items():
+        hp = getattr(inner.inner_state, "hyperparams", None)
+        if hp is not None and "learning_rate" in hp:
+            lrs[label] = float(hp["learning_rate"])
+    return lrs
+
+
+def scale_learning_rates(opt_state, factor: float):
+    """Return a new opt_state with every group's LR multiplied by ``factor``
+    (the scheduler's plateau decay, reference scheduler.py:162-171)."""
+
+    def _scale(inner):
+        hp = getattr(inner.inner_state, "hyperparams", None)
+        if hp is None or "learning_rate" not in hp:
+            return inner
+        new_hp = dict(hp)
+        new_hp["learning_rate"] = hp["learning_rate"] * factor
+        return inner._replace(inner_state=inner.inner_state._replace(hyperparams=new_hp))
+
+    new_inner = {
+        label: _scale(inner) for label, inner in opt_state.inner_states.items()
+    }
+    return opt_state._replace(inner_states=new_inner)
+
+
+def set_learning_rates(opt_state, lrs: t.Dict[str, float]):
+    """Force specific per-group LRs (used after checkpoint rollback so the
+    decayed LR survives the parameter restore)."""
+
+    def _set(label, inner):
+        hp = getattr(inner.inner_state, "hyperparams", None)
+        if hp is None or "learning_rate" not in hp or label not in lrs:
+            return inner
+        new_hp = dict(hp)
+        new_hp["learning_rate"] = jax.numpy.asarray(lrs[label], dtype=jax.numpy.float32)
+        return inner._replace(inner_state=inner.inner_state._replace(hyperparams=new_hp))
+
+    new_inner = {
+        label: _set(label, inner) for label, inner in opt_state.inner_states.items()
+    }
+    return opt_state._replace(inner_states=new_inner)

@@ -1,0 +1,470 @@
+"""Training engine: per-mouse jitted gradient steps, gradient accumulation
+across the mouse cycle, validation, inference and challenge evaluation.
+
+Faithful to the reference schedule (reference train.py:42-190):
+- ``CycleLoaders`` round-robin over mice; gradients ACCUMULATE (sum) across
+  one batch per mouse; one optimizer update per full cycle
+  (update_frequency = num_mice, train.py:97-111),
+- loss = criterion + (micro/batch)-scaled regularizer per micro-batch
+  (train.py:65-72),
+- validation stacks targets/predictions per mouse then computes
+  msse/poisson/single-trial-corr (train.py:28-39, 158-190),
+- ``evaluate`` computes the challenge metrics per mouse and overall averages,
+  writing evaluation.yaml (reference utils/utils.py:103-199).
+
+TPU-first specifics:
+- every batch is padded to a static shape and carries a 0/1 sample mask so
+  each mouse compiles exactly one train and one eval executable,
+- bf16 compute / fp32 params replaces fp16 AMP + GradScaler,
+- steps run under jit with donated params/opt_state; batches can be sharded
+  over a data-parallel mesh (v1t_tpu/parallel) in which case XLA inserts the
+  gradient all-reduce over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import os
+import typing as t
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml as pyyaml
+
+from v1t_tpu import losses, optim
+from v1t_tpu.configs import Config
+from v1t_tpu.data.cards import DataCard
+from v1t_tpu.data.loaders import BatchLoader, CycleLoaders
+from v1t_tpu.metrics import Metrics
+from v1t_tpu.models import model_regularizer
+from v1t_tpu.models.model import Model
+
+
+def pad_batch(batch: t.Dict[str, np.ndarray], batch_size: int):
+    """Pad every array in the batch to ``batch_size`` rows and return the
+    0/1 sample mask. Keeps shapes static so each mouse compiles once."""
+    n = len(batch["image"])
+    mask = np.zeros(batch_size, np.float32)
+    mask[:n] = 1.0
+    if n == batch_size:
+        return batch, mask
+    padded = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == n:
+            pad_width = [(0, batch_size - n)] + [(0, 0)] * (v.ndim - 1)
+            padded[k] = np.pad(v, pad_width)
+        else:
+            padded[k] = v
+    return padded, mask
+
+
+class Trainer:
+    """Owns (params, opt_state) and the jitted per-mouse step functions."""
+
+    def __init__(
+        self,
+        config: Config,
+        model: Model,
+        params: dict,
+        data_card: DataCard,
+        core_frozen: bool = False,
+        mesh=None,
+    ):
+        self.config = config
+        self.model = model
+        self.data_card = data_card
+        self.core_frozen = core_frozen
+        self.criterion = losses.get_criterion(config, data_card.ds_sizes)
+        self.tx, self.opt_state = optim.build_optimizer(
+            config, params, core_frozen=core_frozen
+        )
+        self.params = params
+        self.mesh = mesh  # parallel.DataParallel or None
+        self.base_rng = jax.random.key(config.seed)
+        self._step_count = 0
+
+        self._grad_fns: dict = {}
+        self._eval_fns: dict = {}
+        self._predict_fns: dict = {}
+        self._accumulate = jax.jit(
+            lambda acc, g: jax.tree_util.tree_map(jnp.add, acc, g)
+        )
+        self._apply = jax.jit(self._apply_update, donate_argnums=(0, 1))
+
+        if self.mesh is not None:
+            self.params = self.mesh.replicate(self.params)
+            self.opt_state = self.mesh.replicate(self.opt_state)
+
+    # --- jitted step builders --------------------------------------------------
+
+    def _apply_update(self, params, opt_state, grads):
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), params, updates
+        )
+        return params, opt_state
+
+    def _loss_terms(
+        self, params, batch, mask, rng, mouse_id: str, train: bool,
+        batch_size=None, reg_weight=1.0,
+    ):
+        """One micro-batch's loss; ``batch_size`` is the FULL batch size used
+        for ds scaling and ``reg_weight`` the (micro/batch) regularizer
+        fraction (reference train.py:65-72)."""
+        rngs = None
+        if train:
+            rngs = {
+                "dropout": jax.random.fold_in(rng, 0),
+                "droppath": jax.random.fold_in(rng, 1),
+                "sample": jax.random.fold_in(rng, 2),
+            }
+        y_pred, _, _ = self.model.apply(
+            {"params": params},
+            batch["image"],
+            mouse_id=mouse_id,
+            behaviors=batch["behavior"],
+            pupil_centers=batch["pupil_center"],
+            train=train,
+            rngs=rngs,
+        )
+        loss = self.criterion(
+            y_true=batch["response"],
+            y_pred=y_pred,
+            mouse_id=mouse_id,
+            batch_size=jnp.sum(mask) if batch_size is None else batch_size,
+            mask=mask,
+        )
+        reg_loss = reg_weight * model_regularizer(
+            self.config, params, mouse_id=mouse_id, core_frozen=self.core_frozen
+        )
+        return loss, reg_loss, y_pred
+
+    def _get_grad_fn(self, mouse_id: str):
+        if mouse_id not in self._grad_fns:
+
+            def step(params, batch, mask, rng, batch_size, reg_weight):
+                def loss_fn(p):
+                    loss, reg_loss, _ = self._loss_terms(
+                        p, batch, mask, rng, mouse_id, train=True,
+                        batch_size=batch_size, reg_weight=reg_weight,
+                    )
+                    total = loss + reg_loss
+                    return total, (loss, reg_loss)
+
+                (total, (loss, reg_loss)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                metrics = {
+                    "loss/loss": loss,
+                    "loss/reg_loss": reg_loss,
+                    "loss/total_loss": total,
+                }
+                return grads, metrics
+
+            jit_kwargs = {}
+            if self.mesh is not None:
+                jit_kwargs = self.mesh.step_shardings()
+            self._grad_fns[mouse_id] = jax.jit(step, **jit_kwargs)
+        return self._grad_fns[mouse_id]
+
+    def _get_eval_fn(self, mouse_id: str):
+        if mouse_id not in self._eval_fns:
+
+            def step(params, batch, mask, batch_size, reg_weight):
+                loss, reg_loss, y_pred = self._loss_terms(
+                    params, batch, mask, None, mouse_id, train=False,
+                    batch_size=batch_size, reg_weight=reg_weight,
+                )
+                metrics = {
+                    "loss/loss": loss,
+                    "loss/reg_loss": reg_loss,
+                    "loss/total_loss": loss + reg_loss,
+                }
+                return metrics, y_pred
+
+            self._eval_fns[mouse_id] = jax.jit(step)
+        return self._eval_fns[mouse_id]
+
+    def _get_predict_fn(self, mouse_id: str):
+        if mouse_id not in self._predict_fns:
+
+            def step(params, batch):
+                y_pred, _, _ = self.model.apply(
+                    {"params": params},
+                    batch["image"],
+                    mouse_id=mouse_id,
+                    behaviors=batch["behavior"],
+                    pupil_centers=batch["pupil_center"],
+                    train=False,
+                )
+                return y_pred
+
+            self._predict_fns[mouse_id] = jax.jit(step)
+        return self._predict_fns[mouse_id]
+
+    def _device_batch(self, batch, mask):
+        arrays = {
+            "image": batch["image"],
+            "response": batch["response"],
+            "behavior": batch["behavior"],
+            "pupil_center": batch["pupil_center"],
+        }
+        if self.mesh is not None:
+            arrays = self.mesh.shard_batch(arrays)
+            mask = self.mesh.shard_mask(mask)
+        return arrays, mask
+
+    # --- public steps ------------------------------------------------------------
+
+    def train_step(
+        self,
+        mouse_id: str,
+        batch: t.Dict[str, np.ndarray],
+        acc_grads,
+        update: bool,
+    ):
+        """Gradient accumulation step for one mouse's batch (reference
+        train_step, train.py:42-81); optimizer update when ``update``."""
+        micro = self.config.effective_micro_batch_size
+        metrics_sum = None
+        true_total = len(batch["image"])
+        from v1t_tpu.data.loaders import micro_batching
+
+        for micro_batch in micro_batching(batch, micro):
+            padded, mask = pad_batch(micro_batch, micro)
+            # ds-scale uses the FULL batch size (reference train.py:65-70);
+            # the regularizer is scaled by micro/batch (train.py:71)
+            reg_weight = np.float32(len(micro_batch["image"]) / true_total)
+            arrays, mask = self._device_batch(padded, mask)
+            self._step_count += 1
+            rng = jax.random.fold_in(self.base_rng, self._step_count)
+            grads, metrics = self._get_grad_fn(mouse_id)(
+                self.params, arrays, mask, rng,
+                np.float32(true_total), reg_weight,
+            )
+            acc_grads = (
+                grads
+                if acc_grads is None
+                else self._accumulate(acc_grads, grads)
+            )
+            metrics_sum = (
+                metrics
+                if metrics_sum is None
+                else {k: metrics_sum[k] + v for k, v in metrics.items()}
+            )
+        if update:
+            self.params, self.opt_state = self._apply(
+                self.params, self.opt_state, acc_grads
+            )
+            acc_grads = None
+        return acc_grads, {k: float(v) for k, v in metrics_sum.items()}
+
+    def validation_step(self, mouse_id: str, batch: t.Dict[str, np.ndarray]):
+        micro = self.config.effective_micro_batch_size
+        from v1t_tpu.data.loaders import micro_batching
+
+        metrics_sum, targets, predictions = None, [], []
+        true_total = len(batch["image"])
+        for micro_batch in micro_batching(batch, micro):
+            n = len(micro_batch["image"])
+            padded, mask = pad_batch(micro_batch, micro)
+            arrays, mask_dev = self._device_batch(padded, mask)
+            metrics, y_pred = self._get_eval_fn(mouse_id)(
+                self.params, arrays, mask_dev,
+                np.float32(true_total), np.float32(n / true_total),
+            )
+            metrics_sum = (
+                metrics
+                if metrics_sum is None
+                else {k: metrics_sum[k] + v for k, v in metrics.items()}
+            )
+            targets.append(micro_batch["response"])
+            predictions.append(np.asarray(y_pred)[:n])
+        return (
+            {k: float(v) for k, v in metrics_sum.items()},
+            np.concatenate(targets),
+            np.concatenate(predictions),
+        )
+
+    def predict(self, mouse_id: str, batch: t.Dict[str, np.ndarray]) -> np.ndarray:
+        micro = self.config.effective_micro_batch_size
+        from v1t_tpu.data.loaders import micro_batching
+
+        outs = []
+        for micro_batch in micro_batching(batch, micro):
+            n = len(micro_batch["image"])
+            padded, _ = pad_batch(micro_batch, micro)
+            arrays, _ = self._device_batch(padded, np.ones(micro, np.float32))
+            y_pred = self._get_predict_fn(mouse_id)(self.params, arrays)
+            outs.append(np.asarray(y_pred)[:n])
+        return np.concatenate(outs)
+
+
+def compute_metrics(y_true: np.ndarray, y_pred: np.ndarray) -> dict:
+    """Per-epoch validation metrics (reference train.py:28-39)."""
+    sq = np.sum(np.square(y_true - y_pred), axis=-1)
+    m = float(np.sum(sq))
+    eps = 1e-12
+    pl = float(np.sum(y_pred - y_true * np.log(y_pred + eps)))
+    corr = losses.correlation(y1=y_pred, y2=y_true, dim=0)
+    return {
+        "metrics/msse": m,
+        "metrics/poisson_loss": pl,
+        "metrics/single_trial_correlation": float(np.mean(corr)),
+    }
+
+
+def train_epoch(
+    trainer: Trainer, ds: t.Dict[str, BatchLoader], epoch: int, summary=None
+) -> dict:
+    """One epoch over CycleLoaders with cross-mouse gradient accumulation
+    (reference train, train.py:84-116)."""
+    mouse_ids = list(ds.keys())
+    results: dict = {m: {} for m in mouse_ids}
+    cyc = CycleLoaders(ds)
+    update_frequency = len(mouse_ids)
+    acc = None
+    for i, (mouse_id, batch) in enumerate(cyc):
+        acc, metrics = trainer.train_step(
+            mouse_id,
+            batch,
+            acc_grads=acc,
+            update=(i + 1) % update_frequency == 0,
+        )
+        for k, v in metrics.items():
+            results[mouse_id].setdefault(k, []).append(v)
+    return log_metrics(results, epoch=epoch, summary=summary, mode=0)
+
+
+def validate(
+    trainer: Trainer, ds: t.Dict[str, BatchLoader], epoch: int, summary=None
+) -> dict:
+    """Validation epoch (reference validate, train.py:158-190)."""
+    results = {}
+    for mouse_id, loader in ds.items():
+        mouse_result: dict = {}
+        y_true, y_pred = [], []
+        for batch in loader:
+            metrics, targets, predictions = trainer.validation_step(mouse_id, batch)
+            for k, v in metrics.items():
+                mouse_result.setdefault(k, []).append(v)
+            y_true.append(targets)
+            y_pred.append(predictions)
+        y_true, y_pred = np.vstack(y_true), np.vstack(y_pred)
+        mouse_result.update(compute_metrics(y_true=y_true, y_pred=y_pred))
+        results[mouse_id] = mouse_result
+    return log_metrics(results, epoch=epoch, summary=summary, mode=1)
+
+
+def log_metrics(results: dict, epoch: int, summary=None, mode: int = 0) -> dict:
+    """Mean metrics per mouse then across mice (reference
+    utils/utils.py:340-387); strips the metric-group prefix like the
+    reference."""
+    mouse_ids = list(results.keys())
+    metrics = list(results[mouse_ids[0]].keys())
+    for mouse_id in mouse_ids:
+        for metric in metrics:
+            value = results[mouse_id][metric]
+            if isinstance(value, list):
+                results[mouse_id][metric] = float(np.mean(value))
+            if summary is not None:
+                summary.scalar(
+                    f"{metric}/mouse{mouse_id}",
+                    value=results[mouse_id][metric],
+                    step=epoch,
+                    mode=mode,
+                )
+    overall = {}
+    for metric in metrics:
+        value = float(np.mean([results[m][metric] for m in mouse_ids]))
+        overall[metric[metric.find("/") + 1 :]] = value
+        if summary is not None:
+            summary.scalar(metric, value=value, step=epoch, mode=mode)
+    return overall
+
+
+def inference(
+    trainer: Trainer, loader: BatchLoader, mouse_id: str
+) -> t.Dict[str, np.ndarray]:
+    """Full-dataset forward pass (reference utils/utils.py:59-100)."""
+    results: dict = {"predictions": [], "targets": [], "trial_ids": [], "image_ids": []}
+    for batch in loader:
+        results["predictions"].append(trainer.predict(mouse_id, batch))
+        results["targets"].append(batch["response"])
+        results["image_ids"].append(batch["image_id"])
+        results["trial_ids"].append(batch["trial_id"])
+    return {
+        k: np.concatenate(v, axis=0) for k, v in results.items()
+    }
+
+
+def evaluate(
+    config: Config,
+    trainer: Trainer,
+    ds: t.Dict[str, BatchLoader],
+    epoch: int = 0,
+    summary=None,
+    mode: int = 1,
+    print_result: bool = False,
+    save_result: t.Optional[str] = None,
+) -> dict:
+    """Challenge metrics per mouse + overall averages; writes
+    evaluation.yaml (reference utils/utils.py:103-199)."""
+    metric_names = ["single_trial_correlation", "correlation_to_average", "feve"]
+    results: dict = {k: {} for k in metric_names}
+    for mouse_id, loader in ds.items():
+        if mouse_id in ("S0", "S1") and loader.dataset.tier == "test":
+            continue
+        outputs = inference(trainer, loader, mouse_id)
+        mouse_metric = Metrics(
+            outputs,
+            neuron_ids=loader.dataset.neuron_ids,
+            tier=loader.dataset.tier,
+            hashed=loader.dataset.hashed,
+        )
+        results["single_trial_correlation"][mouse_id] = (
+            mouse_metric.single_trial_correlation(per_neuron=True)
+        )
+        if mouse_metric.repeat_image and not mouse_metric.hashed:
+            results["correlation_to_average"][mouse_id] = (
+                mouse_metric.correlation_to_average(per_neuron=True)
+            )
+            results["feve"][mouse_id] = mouse_metric.feve(per_neuron=True)
+
+    for metric in metric_names:
+        for mouse_id in results[metric]:
+            results[metric][mouse_id] = float(np.mean(results[metric][mouse_id]))
+            if summary is not None:
+                summary.scalar(
+                    f"{metric}/mouse{mouse_id}",
+                    value=results[metric][mouse_id],
+                    step=epoch,
+                    mode=mode,
+                )
+
+    if getattr(config, "verbose", 1) and print_result:
+        statement = ""
+        for metric in metric_names:
+            if results[metric]:
+                statement += f"\n{metric}\n"
+                statement += "".join(
+                    f"{k}: {v:.04f}\t" for k, v in results[metric].items()
+                )
+        if statement:
+            print(statement)
+
+    overall = {}
+    for metric in metric_names:
+        values = list(results[metric].values())
+        if values:
+            average = float(np.mean(values))
+            overall[metric] = average
+            results[metric]["average"] = average
+            if summary is not None:
+                summary.scalar(f"{metric}/average", value=average, step=epoch, mode=mode)
+
+    if save_result is not None:
+        with open(os.path.join(save_result, "evaluation.yaml"), "w") as f:
+            pyyaml.safe_dump(results, f)
+    return overall
