@@ -224,10 +224,6 @@ def test_frozen_core_gets_no_updates(data_dir, tmp_path):
     train_ds, val_ds, test_ds, card = get_training_ds(
         cfg, data_dir=cfg.dataset, mouse_ids=cfg.mouse_ids,
         batch_size=cfg.batch_size,
-    )[0:3] + (None,)
-    train_ds, val_ds, test_ds, card = get_training_ds(
-        cfg, data_dir=cfg.dataset, mouse_ids=cfg.mouse_ids,
-        batch_size=cfg.batch_size,
     )
     model = build_model(cfg, card)
     params = init_model(model, seed=cfg.seed)

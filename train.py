@@ -19,7 +19,7 @@ from v1t_tpu import training
 from v1t_tpu.configs import Config, save_args
 from v1t_tpu.data import get_mouse_ids, get_training_ds
 from v1t_tpu.models import build_model
-from v1t_tpu.models.model import init_model
+from v1t_tpu.models.model import init_model_variables
 from v1t_tpu.parallel.mesh import DataParallel
 from v1t_tpu.pretrained import load_pretrain_core
 from v1t_tpu.utils.logger import Logger
@@ -45,7 +45,7 @@ def main(config: Config, wandb_sweep: bool = False):
     summary = Summary(config)
 
     model = build_model(config, card)
-    params = init_model(model, seed=config.seed)
+    params, model_state = init_model_variables(model, seed=config.seed)
 
     core_frozen = False
     if config.pretrain_core:
@@ -67,7 +67,8 @@ def main(config: Config, wandb_sweep: bool = False):
             print(f"Data parallel over {mesh.num_devices} device(s).")
 
     trainer = training.Trainer(
-        config, model, params, card, core_frozen=core_frozen, mesh=mesh
+        config, model, params, card, core_frozen=core_frozen, mesh=mesh,
+        model_state=model_state,
     )
     scheduler = Scheduler(config, mode="max")
 
@@ -86,9 +87,11 @@ def main(config: Config, wandb_sweep: bool = False):
             print(f"wandb unavailable: {e}")
 
     save_args(config)
-    epoch, trainer.params, trainer.opt_state = scheduler.restore(
-        trainer.params, trainer.opt_state,
-        load_optimizer=True, load_scheduler=True,
+    epoch, trainer.params, trainer.opt_state, trainer.model_state = (
+        scheduler.restore(
+            trainer.params, trainer.opt_state, trainer.model_state,
+            load_optimizer=True, load_scheduler=True,
+        )
     )
 
     import time as _time
@@ -123,6 +126,7 @@ def main(config: Config, wandb_sweep: bool = False):
             epoch=epoch,
             params=trainer.params,
             opt_state=trainer.opt_state,
+            model_state=trainer.model_state,
         )
         if wandb_run is not None:
             wandb_run.log(

@@ -3,6 +3,9 @@ from v1t_tpu.models.model import Model, build_model, model_regularizer
 
 # import for registration side-effects
 from v1t_tpu.models.cores import vit as _vit  # noqa: F401
+from v1t_tpu.models.cores import cct as _cct  # noqa: F401
+from v1t_tpu.models.cores import stacked2d as _stacked2d  # noqa: F401
+from v1t_tpu.models.cores import stn as _stn  # noqa: F401
 from v1t_tpu.models.cores import mixer as _mixer  # noqa: F401
 from v1t_tpu.models.cores import linear as _linear_core  # noqa: F401
 from v1t_tpu.models.cores import random as _random_core  # noqa: F401

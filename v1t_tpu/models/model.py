@@ -185,10 +185,12 @@ def build_model(config: Config, data_card: DataCard) -> Model:
     return Model(config=config, data_card=data_card, dtype=dtype)
 
 
-def init_model(
+def init_model_variables(
     model: Model, seed: int = 0, batch_size: int = 1
-) -> t.Dict[str, t.Any]:
-    """Initialize ALL parameters (every mouse's branch) with one init call."""
+) -> t.Tuple[t.Dict[str, t.Any], t.Dict[str, t.Any]]:
+    """Initialize ALL parameters (every mouse's branch) with one init call.
+    Returns (params, model_state) where model_state holds the non-parameter
+    collections (e.g. BatchNorm batch_stats for stacked2d/stn cores)."""
     card = model.data_card
     c, h, w = card.input_shape
     key = jax.random.key(seed)
@@ -205,7 +207,14 @@ def init_model(
         jnp.zeros((batch_size, 2), jnp.float32),
         method=Model.warmup,
     )
-    return variables["params"]
+    variables = dict(variables)
+    params = variables.pop("params")
+    return params, variables
+
+
+def init_model(model: Model, seed: int = 0, batch_size: int = 1):
+    """Parameters only — for models without stateful collections."""
+    return init_model_variables(model, seed=seed, batch_size=batch_size)[0]
 
 
 def model_regularizer(
@@ -219,7 +228,17 @@ def model_regularizer(
     readout_cls = get_readout(config.readout)
     reg = jnp.zeros(())
     if not core_frozen:
-        reg = reg + core_cls.regularizer(params["core"], config.core_reg_scale)
+        if config.core == "stacked2d":
+            # stacked2d regularizes via gamma_input/gamma_hidden
+            # (reference stacked2d.py:580-583)
+            reg = reg + core_cls.regularizer(
+                params["core"],
+                reg_scale=config.core_reg_input,
+                gamma_input=config.core_reg_input,
+                gamma_hidden=config.core_reg_hidden,
+            )
+        else:
+            reg = reg + core_cls.regularizer(params["core"], config.core_reg_scale)
     reg = reg + readout_cls.regularizer(
         params["readouts"][f"readout_{mouse_id}"], config.readout_reg_scale
     )

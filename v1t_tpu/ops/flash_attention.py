@@ -112,7 +112,8 @@ def _fwd_kernel(
         l_final = l_scr[:, :1]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse_ref[0, :] = (m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37)))
+        lse_val = m_scr[:, :1] + jnp.log(jnp.maximum(l_scr[:, :1], 1e-37))
+        lse_ref[0] = jnp.broadcast_to(lse_val.T, (8, lse_val.shape[0]))
 
 
 def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate, deterministic):
@@ -133,13 +134,13 @@ def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate, deterministi
             num_scalar_prefetch=1,
             grid=(bhn, nq, nk),
             in_specs=[
-                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),
-                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj: (bh, kj, 0)),
-                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj: (bh, kj, 0)),
+                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj, *_: (bh, kj, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj, *_: (bh, kj, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),
-                pl.BlockSpec((1, BLOCK_Q), lambda bh, qi, kj: (bh, qi)),
+                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, kj, *_: (bh, 0, qi)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((BLOCK_Q, NUM_LANES), jnp.float32),
@@ -149,7 +150,9 @@ def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate, deterministi
         ),
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((bhn, n_pad), jnp.float32),
+            # row statistics replicated over 8 sublanes to satisfy the TPU
+            # (8, 128) tile layout
+            jax.ShapeDtypeStruct((bhn, 8, n_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -179,8 +182,8 @@ def _dq_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, :][:, None]  # (BLOCK_Q, 1)
-    delta = delta_ref[0, :][:, None]
+    lse = lse_ref[0, :1, :].T  # (BLOCK_Q, 1)
+    delta = delta_ref[0, :1, :].T
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -228,8 +231,8 @@ def _dkv_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, :][:, None]
-    delta = delta_ref[0, :][:, None]
+    lse = lse_ref[0, :1, :].T  # (BLOCK_Q, 1)
+    delta = delta_ref[0, :1, :].T
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -284,18 +287,19 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
     delta = jnp.sum(
         out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
     )  # (BH, N)
+    delta = jnp.broadcast_to(delta[:, None, :], (bhn, 8, n_pad))
 
     common = dict(
         n_real=n_real, nq=nq, nk=nk, use_lsa=use_lsa,
         dropout_rate=dropout_rate, deterministic=deterministic,
     )
     in_specs_q_major = [
-        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),  # q
-        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj: (bh, kj, 0)),  # k
-        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj: (bh, kj, 0)),  # v
-        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),  # do
-        pl.BlockSpec((1, BLOCK_Q), lambda bh, qi, kj: (bh, qi)),  # lse
-        pl.BlockSpec((1, BLOCK_Q), lambda bh, qi, kj: (bh, qi)),  # delta
+        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj, *_: (bh, qi, 0)),  # q
+        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj, *_: (bh, kj, 0)),  # k
+        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj, *_: (bh, kj, 0)),  # v
+        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj, *_: (bh, qi, 0)),  # do
+        pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, kj, *_: (bh, 0, qi)),  # lse
+        pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, kj, *_: (bh, 0, qi)),  # delta
     ]
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
@@ -304,7 +308,7 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
             grid=(bhn, nq, nk),
             in_specs=in_specs_q_major,
             out_specs=[
-                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj: (bh, qi, 0)),
+                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj, *_: (bh, qi, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((BLOCK_Q, d_pad), jnp.float32)],
         ),
@@ -315,12 +319,12 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
     )(seed, q, k, v, do, lse, delta)[0]
 
     in_specs_k_major = [
-        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, kj, qi: (bh, qi, 0)),  # q
-        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi: (bh, kj, 0)),  # k
-        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi: (bh, kj, 0)),  # v
-        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, kj, qi: (bh, qi, 0)),  # do
-        pl.BlockSpec((1, BLOCK_Q), lambda bh, kj, qi: (bh, qi)),  # lse
-        pl.BlockSpec((1, BLOCK_Q), lambda bh, kj, qi: (bh, qi)),  # delta
+        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, kj, qi, *_: (bh, qi, 0)),  # q
+        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi, *_: (bh, kj, 0)),  # k
+        pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi, *_: (bh, kj, 0)),  # v
+        pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, kj, qi, *_: (bh, qi, 0)),  # do
+        pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, kj, qi, *_: (bh, 0, qi)),  # lse
+        pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, kj, qi, *_: (bh, 0, qi)),  # delta
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, **common),
@@ -329,8 +333,8 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
             grid=(bhn, nk, nq),
             in_specs=in_specs_k_major,
             out_specs=[
-                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi: (bh, kj, 0)),
-                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi: (bh, kj, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi, *_: (bh, kj, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, kj, qi, *_: (bh, kj, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((BLOCK_K, d_pad), jnp.float32),

@@ -70,11 +70,15 @@ class Trainer:
         data_card: DataCard,
         core_frozen: bool = False,
         mesh=None,
+        model_state: t.Optional[dict] = None,
     ):
         self.config = config
         self.model = model
         self.data_card = data_card
         self.core_frozen = core_frozen
+        # non-parameter collections (BatchNorm batch_stats for the
+        # stacked2d/stn cores); empty for the flagship vit
+        self.model_state = model_state or {}
         self.criterion = losses.get_criterion(config, data_card.ds_sizes)
         self.tx, self.opt_state = optim.build_optimizer(
             config, params, core_frozen=core_frozen
@@ -95,6 +99,8 @@ class Trainer:
         if self.mesh is not None:
             self.params = self.mesh.replicate(self.params)
             self.opt_state = self.mesh.replicate(self.opt_state)
+            if self.model_state:
+                self.model_state = self.mesh.replicate(self.model_state)
 
     # --- jitted step builders --------------------------------------------------
 
@@ -106,7 +112,7 @@ class Trainer:
         return params, opt_state
 
     def _loss_terms(
-        self, params, batch, mask, rng, mouse_id: str, train: bool,
+        self, params, state, batch, mask, rng, mouse_id: str, train: bool,
         batch_size=None, reg_weight=1.0,
     ):
         """One micro-batch's loss; ``batch_size`` is the FULL batch size used
@@ -119,15 +125,22 @@ class Trainer:
                 "droppath": jax.random.fold_in(rng, 1),
                 "sample": jax.random.fold_in(rng, 2),
             }
-        y_pred, _, _ = self.model.apply(
-            {"params": params},
+        mutable = list(state.keys()) if (train and state) else False
+        result = self.model.apply(
+            {"params": params, **state},
             batch["image"],
             mouse_id=mouse_id,
             behaviors=batch["behavior"],
             pupil_centers=batch["pupil_center"],
             train=train,
             rngs=rngs,
+            mutable=mutable,
         )
+        if mutable:
+            (y_pred, _, _), new_state = result
+        else:
+            y_pred, _, _ = result
+            new_state = state
         loss = self.criterion(
             y_true=batch["response"],
             y_pred=y_pred,
@@ -138,21 +151,21 @@ class Trainer:
         reg_loss = reg_weight * model_regularizer(
             self.config, params, mouse_id=mouse_id, core_frozen=self.core_frozen
         )
-        return loss, reg_loss, y_pred
+        return loss, reg_loss, y_pred, new_state
 
     def _get_grad_fn(self, mouse_id: str):
         if mouse_id not in self._grad_fns:
 
-            def step(params, batch, mask, rng, batch_size, reg_weight):
+            def step(params, state, batch, mask, rng, batch_size, reg_weight):
                 def loss_fn(p):
-                    loss, reg_loss, _ = self._loss_terms(
-                        p, batch, mask, rng, mouse_id, train=True,
+                    loss, reg_loss, _, new_state = self._loss_terms(
+                        p, state, batch, mask, rng, mouse_id, train=True,
                         batch_size=batch_size, reg_weight=reg_weight,
                     )
                     total = loss + reg_loss
-                    return total, (loss, reg_loss)
+                    return total, (loss, reg_loss, new_state)
 
-                (total, (loss, reg_loss)), grads = jax.value_and_grad(
+                (total, (loss, reg_loss, new_state)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params)
                 metrics = {
@@ -160,7 +173,7 @@ class Trainer:
                     "loss/reg_loss": reg_loss,
                     "loss/total_loss": total,
                 }
-                return grads, metrics
+                return grads, new_state, metrics
 
             jit_kwargs = {}
             if self.mesh is not None:
@@ -171,9 +184,9 @@ class Trainer:
     def _get_eval_fn(self, mouse_id: str):
         if mouse_id not in self._eval_fns:
 
-            def step(params, batch, mask, batch_size, reg_weight):
-                loss, reg_loss, y_pred = self._loss_terms(
-                    params, batch, mask, None, mouse_id, train=False,
+            def step(params, state, batch, mask, batch_size, reg_weight):
+                loss, reg_loss, y_pred, _ = self._loss_terms(
+                    params, state, batch, mask, None, mouse_id, train=False,
                     batch_size=batch_size, reg_weight=reg_weight,
                 )
                 metrics = {
@@ -189,9 +202,9 @@ class Trainer:
     def _get_predict_fn(self, mouse_id: str):
         if mouse_id not in self._predict_fns:
 
-            def step(params, batch):
+            def step(params, state, batch):
                 y_pred, _, _ = self.model.apply(
-                    {"params": params},
+                    {"params": params, **state},
                     batch["image"],
                     mouse_id=mouse_id,
                     behaviors=batch["behavior"],
@@ -239,8 +252,8 @@ class Trainer:
             arrays, mask = self._device_batch(padded, mask)
             self._step_count += 1
             rng = jax.random.fold_in(self.base_rng, self._step_count)
-            grads, metrics = self._get_grad_fn(mouse_id)(
-                self.params, arrays, mask, rng,
+            grads, self.model_state, metrics = self._get_grad_fn(mouse_id)(
+                self.params, self.model_state, arrays, mask, rng,
                 np.float32(true_total), reg_weight,
             )
             acc_grads = (
@@ -271,7 +284,7 @@ class Trainer:
             padded, mask = pad_batch(micro_batch, micro)
             arrays, mask_dev = self._device_batch(padded, mask)
             metrics, y_pred = self._get_eval_fn(mouse_id)(
-                self.params, arrays, mask_dev,
+                self.params, self.model_state, arrays, mask_dev,
                 np.float32(true_total), np.float32(n / true_total),
             )
             metrics_sum = (
@@ -296,7 +309,9 @@ class Trainer:
             n = len(micro_batch["image"])
             padded, _ = pad_batch(micro_batch, micro)
             arrays, _ = self._device_batch(padded, np.ones(micro, np.float32))
-            y_pred = self._get_predict_fn(mouse_id)(self.params, arrays)
+            y_pred = self._get_predict_fn(mouse_id)(
+                self.params, self.model_state, arrays
+            )
             outs.append(np.asarray(y_pred)[:n])
         return np.concatenate(outs)
 

@@ -120,12 +120,18 @@ class Scheduler:
         self.best_value = float(state["best_value"])
         self.best_epoch = int(state["best_epoch"])
 
-    def save_checkpoint(self, value: float, epoch: int, params, opt_state=None):
+    def save_checkpoint(
+        self, value: float, epoch: int, params, opt_state=None, model_state=None
+    ):
         payload = {
             "epoch": int(epoch),
             "value": float(value),
             "model": self._parameters_to_save(params),
         }
+        if model_state:
+            # non-parameter collections, e.g. BatchNorm running statistics
+            # (part of the torch state_dict in the reference)
+            payload["model_state"] = model_state
         if self.save_optimizer and opt_state is not None:
             payload["optimizer"] = serialization.to_state_dict(opt_state)
         if self.save_scheduler:
@@ -138,17 +144,22 @@ class Scheduler:
         self,
         params,
         opt_state=None,
+        model_state=None,
         force: bool = False,
         load_optimizer: bool = False,
         load_scheduler: bool = False,
     ):
-        """Merge the best checkpoint into (params, opt_state); returns
-        (epoch, params, opt_state). epoch 0 when no checkpoint exists."""
+        """Merge the best checkpoint into (params, opt_state, model_state);
+        returns (epoch, params, opt_state) — or a 4-tuple including
+        model_state when one was passed. epoch 0 when no checkpoint exists."""
         epoch = 0
+        had_state = model_state is not None
         if os.path.exists(self.checkpoint_path):
             ckpt = load_checkpoint_file(self.checkpoint_path)
             epoch = int(ckpt["epoch"])
             params = _merge(params, ckpt["model"])
+            if had_state and "model_state" in ckpt:
+                model_state = _merge(model_state, ckpt["model_state"])
             if load_optimizer and opt_state is not None and "optimizer" in ckpt:
                 opt_state = serialization.from_state_dict(
                     opt_state, ckpt["optimizer"]
@@ -164,6 +175,8 @@ class Scheduler:
             raise FileNotFoundError(
                 f"Cannot find checkpoint in {self.checkpoint_dir}."
             )
+        if had_state:
+            return epoch, params, opt_state, model_state
         return epoch, params, opt_state
 
     # --- state machine ---------------------------------------------------------
@@ -171,7 +184,7 @@ class Scheduler:
     def is_better(self, value: float) -> bool:
         return value < self.best_value if self.mode == "min" else value > self.best_value
 
-    def step(self, value: float, epoch: int, params, opt_state):
+    def step(self, value: float, epoch: int, params, opt_state, model_state=None):
         """Returns (terminate, params, opt_state) — params/opt_state may be
         rolled back to the best checkpoint with decayed LRs
         (reference scheduler.py:173-197)."""
@@ -183,7 +196,7 @@ class Scheduler:
             self.lr_wait = 0
             self.num_reduce = 0
             self.save_checkpoint(value=value, epoch=epoch, params=params,
-                                 opt_state=opt_state)
+                                 opt_state=opt_state, model_state=model_state)
         elif epoch > self.min_epochs:
             if self.lr_wait >= self.lr_patience:
                 if self.num_reduce >= self.max_reduce:
