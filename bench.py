@@ -1,0 +1,115 @@
+"""Headline benchmark: V1T forward+backward images/sec/chip on TPU.
+
+Runs the flagship configuration (emb 155, 4 blocks, 4 heads, mlp 488,
+patch 8 / stride 1 -> 1654 tokens on a (1, 36, 64) input, Gaussian2d readout
+with ~7k neurons, behavior_mode 3, Poisson loss + regularizers — reference
+train.py:542-590) through the full jitted training step (grads included) and
+reports images/sec/chip.
+
+vs_baseline compares against an A100 fp16 estimate of the reference
+implementation: ~105 GFLOP/image fwd+bwd at the measured model shape, torch
+AMP with materialized 1654^2 attention and gradient checkpointing -> ~1000
+images/sec on A100 (no canonical number is published in the reference repo —
+SURVEY.md §6; the BASELINE.json north star is >=5x this).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_IMAGES_PER_SEC = 1000.0
+
+
+def main():
+    from v1t_tpu.configs import Config
+    from v1t_tpu.data.cards import synthetic_data_card
+    from v1t_tpu.losses import get_criterion
+    from v1t_tpu.models import build_model, model_regularizer
+    from v1t_tpu.models.model import init_model
+
+    batch_size = 64
+    config = Config(
+        core="vit",
+        readout="gaussian2d",
+        behavior_mode=3,
+        shift_mode=2,
+        batch_size=batch_size,
+        precision="bf16",
+        attention_impl="auto",
+        resize_image=0,  # feed (1, 36, 64) directly
+        core_reg_scale=0.5379,
+        readout_reg_scale=0.0076,
+        lr=0.001647,
+    )
+    card = synthetic_data_card(
+        mouse_ids=("A",),
+        num_neurons=7000,
+        input_shape=(1, 36, 64),
+        ds_size=4096,
+    )
+    model = build_model(config, card)
+    params = init_model(model, seed=0, batch_size=1)
+    criterion = get_criterion(config, card.ds_sizes)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(batch_size, 1, 36, 64)), jnp.float32)
+    behaviors = jnp.asarray(rng.normal(size=(batch_size, 3)), jnp.float32)
+    pupils = jnp.asarray(rng.normal(size=(batch_size, 2)), jnp.float32)
+    responses = jnp.asarray(
+        rng.poisson(2.0, size=(batch_size, 7000)), jnp.float32
+    )
+
+    def loss_fn(p, step_rng):
+        rngs = {
+            "dropout": jax.random.fold_in(step_rng, 0),
+            "droppath": jax.random.fold_in(step_rng, 1),
+            "sample": jax.random.fold_in(step_rng, 2),
+        }
+        y_pred, _, _ = model.apply(
+            {"params": p},
+            images,
+            mouse_id="A",
+            behaviors=behaviors,
+            pupil_centers=pupils,
+            train=True,
+            rngs=rngs,
+        )
+        loss = criterion(responses, y_pred, mouse_id="A", batch_size=batch_size)
+        return loss + model_regularizer(config, p, mouse_id="A")
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    base_rng = jax.random.key(0)
+
+    # warmup / compile
+    grads = grad_fn(params, jax.random.fold_in(base_rng, 0))
+    jax.block_until_ready(grads)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        grads = grad_fn(params, jax.random.fold_in(base_rng, i + 1))
+    jax.block_until_ready(grads)
+    dt = (time.perf_counter() - t0) / iters
+
+    images_per_sec = batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "v1t_fwd_bwd_images_per_sec_per_chip",
+                "value": round(images_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    images_per_sec / A100_REFERENCE_IMAGES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,11 @@ class Config:
     # attention kernel selection (new, TPU-native)
     attention_impl: str = "auto"  # "auto" | "pallas" | "xla"
 
+    # ensemble settings (reference ensemble.py:441-543)
+    ensemble_mode: int = 0  # 0 average / 1 shared Linear / 2 per-mouse Linear
+    weight_decay: float = 0.01
+    train: bool = False  # ensemble: train the output head
+
     # parallelism (new, TPU-native; reference has none — SURVEY.md §2.12)
     data_parallel: int = 0  # 0 -> use all local devices
 

@@ -162,6 +162,14 @@ class Model(nn.Module):
             out.append(jnp.sum(o))
         return jnp.stack(out)
 
+    def crop(self, inputs, mouse_id: str, behaviors, pupil_centers):
+        """Run only the image cropper (used by the attention-rollout driver,
+        reference attention_rollout.py:168-173)."""
+        return self.image_cropper(
+            inputs, mouse_id=mouse_id, behaviors=behaviors,
+            pupil_centers=pupil_centers,
+        )
+
     def core_forward(
         self, images, mouse_id: str, behaviors, pupil_centers,
         train: bool = False, return_probs: bool = False,

@@ -29,8 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-BLOCK_Q = 128
-BLOCK_K = 128
+# Tunable block sizes: q blocks need sublane (8) alignment, k blocks set the
+# scores tile's lane dim so they need 128 alignment. Defaults tuned on
+# v5e for the V1T shape (N=1654 -> padded 1664, D=155 -> padded 256).
+import os as _os
+
+BLOCK_Q = int(_os.environ.get("V1T_FLASH_BLOCK_Q", 416))
+BLOCK_K = int(_os.environ.get("V1T_FLASH_BLOCK_K", 832))
 NUM_LANES = 128
 
 
@@ -417,7 +422,9 @@ def flash_attention(
     else:
         q = q * scale.astype(q.dtype)
 
-    n_pad = _round_up(n, max(BLOCK_Q, BLOCK_K))
+    import math
+
+    n_pad = _round_up(n, BLOCK_Q * BLOCK_K // math.gcd(BLOCK_Q, BLOCK_K))
     d_pad = _round_up(d, 128)
 
     def prep(x):

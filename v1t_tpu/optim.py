@@ -21,8 +21,15 @@ from v1t_tpu.models.model import param_labels
 
 
 def build_optimizer(
-    config, params: dict, core_frozen: bool = False
+    config,
+    params: dict,
+    core_frozen: bool = False,
+    trainable_modules: t.Optional[t.List[str]] = None,
+    weight_decay: float = 0.0,
 ) -> t.Tuple[optax.GradientTransformation, t.Any]:
+    """AdamW over {core, rest} LR groups. When ``trainable_modules`` is given
+    (the ensemble's output-head-only training, reference ensemble.py:313-334),
+    only those top-level modules train — everything else is frozen."""
     core_lr = config.lr if config.core_lr is None else config.core_lr
 
     def adamw(lr):
@@ -31,14 +38,24 @@ def build_optimizer(
             b1=config.adam_beta1,
             b2=config.adam_beta2,
             eps=config.adam_eps,
-            weight_decay=0.0,
+            weight_decay=weight_decay,
         )
 
-    transforms = {
-        "core": optax.set_to_zero() if core_frozen else adamw(core_lr),
-        "rest": adamw(config.lr),
-    }
-    tx = optax.multi_transform(transforms, param_labels(params))
+    if trainable_modules is not None:
+        labels = {
+            top: jax.tree_util.tree_map(
+                lambda _: "rest" if top in trainable_modules else "core", sub
+            )
+            for top, sub in params.items()
+        }
+        transforms = {"core": optax.set_to_zero(), "rest": adamw(config.lr)}
+    else:
+        labels = param_labels(params)
+        transforms = {
+            "core": optax.set_to_zero() if core_frozen else adamw(core_lr),
+            "rest": adamw(config.lr),
+        }
+    tx = optax.multi_transform(transforms, labels)
     opt_state = tx.init(params)
     return tx, opt_state
 

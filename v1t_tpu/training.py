@@ -71,6 +71,9 @@ class Trainer:
         core_frozen: bool = False,
         mesh=None,
         model_state: t.Optional[dict] = None,
+        regularizer_fn=None,
+        trainable_modules: t.Optional[t.List[str]] = None,
+        weight_decay: float = 0.0,
     ):
         self.config = config
         self.model = model
@@ -79,9 +82,13 @@ class Trainer:
         # non-parameter collections (BatchNorm batch_stats for the
         # stacked2d/stn cores); empty for the flagship vit
         self.model_state = model_state or {}
+        # regularizer override (the ensemble model has none,
+        # reference ensemble.py:128-129)
+        self.regularizer_fn = regularizer_fn
         self.criterion = losses.get_criterion(config, data_card.ds_sizes)
         self.tx, self.opt_state = optim.build_optimizer(
-            config, params, core_frozen=core_frozen
+            config, params, core_frozen=core_frozen,
+            trainable_modules=trainable_modules, weight_decay=weight_decay,
         )
         self.params = params
         self.mesh = mesh  # parallel.DataParallel or None
@@ -148,9 +155,14 @@ class Trainer:
             batch_size=jnp.sum(mask) if batch_size is None else batch_size,
             mask=mask,
         )
-        reg_loss = reg_weight * model_regularizer(
-            self.config, params, mouse_id=mouse_id, core_frozen=self.core_frozen
-        )
+        if self.regularizer_fn is not None:
+            reg = self.regularizer_fn(params, mouse_id)
+        else:
+            reg = model_regularizer(
+                self.config, params, mouse_id=mouse_id,
+                core_frozen=self.core_frozen,
+            )
+        reg_loss = reg_weight * reg
         return loss, reg_loss, y_pred, new_state
 
     def _get_grad_fn(self, mouse_id: str):
