@@ -271,6 +271,7 @@ class Transformer(nn.Module):
     use_bias: bool = True
     dtype: Dtype = None
     attention_impl: str = "auto"
+    grad_checkpointing: bool = False
 
     @nn.compact
     def __call__(
@@ -296,7 +297,15 @@ class Transformer(nn.Module):
                 # added to every token including CLS (reference vit.py:356-359)
                 outputs = outputs + b_latent[:, None, :].astype(outputs.dtype)
 
-            mha_out = Attention(
+            # per-attention gradient checkpointing (reference vit.py:277-284)
+            # — largely obsoleted by the O(N)-memory flash kernel, kept for
+            # the --grad_checkpointing flag
+            attn_cls = Attention
+            mlp_cls = MLP
+            if self.grad_checkpointing and not return_probs:
+                attn_cls = nn.remat(Attention, static_argnums=(2, 3))
+                mlp_cls = nn.remat(MLP, static_argnums=(2,))
+            mha_out = attn_cls(
                 num_patches=self.num_patches,
                 emb_dim=self.emb_dim,
                 num_heads=self.num_heads,
@@ -306,20 +315,20 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
                 name=f"block{i}_mha",
-            )(outputs, train=train, return_probs=return_probs)
+            )(outputs, train, return_probs)
             if return_probs:
                 mha_out, probs = mha_out
                 all_probs.append(probs)
             outputs = self._drop_path(mha_out, train) + outputs
 
-            mlp_out = MLP(
+            mlp_out = mlp_cls(
                 hidden_dim=self.mlp_dim,
                 out_dim=self.emb_dim,
                 dropout=self.dropout,
                 use_bias=self.use_bias,
                 dtype=self.dtype,
                 name=f"block{i}_mlp",
-            )(outputs, train=train)
+            )(outputs, train)
             outputs = self._drop_path(mlp_out, train) + outputs
 
         if return_probs:
@@ -361,6 +370,7 @@ class ViTCore(nn.Module):
     use_bias: bool = True
     dtype: Dtype = None
     attention_impl: str = "auto"
+    grad_checkpointing: bool = False
 
     @classmethod
     def from_config(cls, config, image_shape, mouse_ids, dtype=None):
@@ -382,6 +392,7 @@ class ViTCore(nn.Module):
             use_bias=not config.disable_bias,
             dtype=dtype,
             attention_impl=config.attention_impl,
+            grad_checkpointing=bool(config.grad_checkpointing),
         )
 
     @property
@@ -434,6 +445,7 @@ class ViTCore(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
             attention_impl=self.attention_impl,
+            grad_checkpointing=self.grad_checkpointing,
             name="transformer",
         )(tokens, mouse_id=mouse_id, behaviors=behaviors, train=train,
           return_probs=return_probs)

@@ -34,8 +34,8 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # v5e for the V1T shape (N=1654 -> padded 1664, D=155 -> padded 256).
 import os as _os
 
-BLOCK_Q = int(_os.environ.get("V1T_FLASH_BLOCK_Q", 416))
-BLOCK_K = int(_os.environ.get("V1T_FLASH_BLOCK_K", 832))
+BLOCK_Q = int(_os.environ.get("V1T_FLASH_BLOCK_Q", 256))
+BLOCK_K = int(_os.environ.get("V1T_FLASH_BLOCK_K", 256))
 NUM_LANES = 128
 
 
