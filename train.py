@@ -114,6 +114,10 @@ def main(config: Config, wandb_sweep: bool = False):
 
         for name, lr in get_learning_rates(trainer.opt_state).items():
             summary.scalar(f"model/lr/{name}", value=lr, step=epoch)
+        if epoch % 10 == 0:
+            from v1t_tpu.utils.plots import plot_samples
+
+            plot_samples(config, trainer, ds=val_ds, summary=summary, epoch=epoch)
         if config.verbose:
             print(
                 f'Train\t\tloss: {train_result["loss"]:.04f}\n'
