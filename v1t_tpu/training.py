@@ -492,6 +492,7 @@ def evaluate(
                 summary.scalar(f"{metric}/average", value=average, step=epoch, mode=mode)
 
     if save_result is not None:
+        os.makedirs(save_result, exist_ok=True)
         with open(os.path.join(save_result, "evaluation.yaml"), "w") as f:
             pyyaml.safe_dump(results, f)
     return overall
