@@ -122,8 +122,9 @@ def _fwd_kernel(
 
 
 def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate, deterministic):
-    bhn, n_pad, d_pad = q.shape
-    nq, nk = n_pad // BLOCK_Q, n_pad // BLOCK_K
+    bhn, nq_pad, d_pad = q.shape
+    nk_pad = k.shape[1]
+    nq, nk = nq_pad // BLOCK_Q, nk_pad // BLOCK_K
     kernel = functools.partial(
         _fwd_kernel,
         n_real=n_real,
@@ -157,7 +158,7 @@ def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate, deterministi
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             # row statistics replicated over 8 sublanes to satisfy the TPU
             # (8, 128) tile layout
-            jax.ShapeDtypeStruct((bhn, 8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bhn, 8, nq_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -287,12 +288,13 @@ def _dkv_kernel(
 
 def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
                     dropout_rate, deterministic):
-    bhn, n_pad, d_pad = q.shape
-    nq, nk = n_pad // BLOCK_Q, n_pad // BLOCK_K
+    bhn, nq_pad, d_pad = q.shape
+    nk_pad = k.shape[1]
+    nq, nk = nq_pad // BLOCK_Q, nk_pad // BLOCK_K
     delta = jnp.sum(
         out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
     )  # (BH, N)
-    delta = jnp.broadcast_to(delta[:, None, :], (bhn, 8, n_pad))
+    delta = jnp.broadcast_to(delta[:, None, :], (bhn, 8, nq_pad))
 
     common = dict(
         n_real=n_real, nq=nq, nk=nk, use_lsa=use_lsa,
@@ -422,16 +424,18 @@ def flash_attention(
     else:
         q = q * scale.astype(q.dtype)
 
-    import math
-
-    n_pad = _round_up(n, BLOCK_Q * BLOCK_K // math.gcd(BLOCK_Q, BLOCK_K))
+    # q and k lengths pad independently to their own block sizes (attention
+    # is rectangular): padded keys are masked inside the kernel, padded query
+    # rows are sliced off here
+    nq_pad = _round_up(n, BLOCK_Q)
+    nk_pad = _round_up(n, BLOCK_K)
     d_pad = _round_up(d, 128)
 
-    def prep(x):
+    def prep(x, n_pad):
         x = x.reshape(b * h, n, d)
         return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
 
-    qp, kp, vp = prep(q), prep(k), prep(v)
+    qp, kp, vp = prep(q, nq_pad), prep(k, nk_pad), prep(v, nk_pad)
 
     if rng is None or deterministic or dropout_rate == 0.0:
         seed = jnp.zeros((1,), jnp.int32)

@@ -56,10 +56,12 @@ def grid_sample(
     gb, gh, gw, _ = grid.shape
     assert gb == b, f"batch mismatch: {b} vs {gb}"
 
-    compute_dtype = jnp.promote_types(inputs.dtype, grid.dtype)
+    # weights/coordinates in fp32; the gathers themselves stay in the input
+    # dtype (bf16 halves gather + backward-scatter HBM traffic)
+    compute_dtype = jnp.promote_types(jnp.float32, grid.dtype)
     x = _unnormalize(grid[..., 0].astype(compute_dtype).reshape(b, gh * gw), w)
     y = _unnormalize(grid[..., 1].astype(compute_dtype).reshape(b, gh * gw), h)
-    flat = inputs.astype(compute_dtype).reshape(b, c, h * w)
+    flat = inputs.reshape(b, c, h * w)
 
     def corner_value(ix_i: jax.Array, iy_i: jax.Array) -> jax.Array:
         valid = (
@@ -67,7 +69,8 @@ def grid_sample(
         )  # (B, P)
         ix_c = jnp.clip(ix_i, 0, w - 1).astype(jnp.int32)
         iy_c = jnp.clip(iy_i, 0, h - 1).astype(jnp.int32)
-        vals = _gather_2d(flat, ix_c, iy_c, w)  # (B, C, P)
+        vals = _gather_2d(flat, ix_c, iy_c, w)  # (B, C, P) in inputs.dtype
+        vals = vals.astype(compute_dtype)
         return jnp.where(valid[:, None, :], vals, jnp.zeros((), compute_dtype))
 
     if mode == "nearest":

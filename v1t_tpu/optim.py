@@ -60,6 +60,48 @@ def build_optimizer(
     return tx, opt_state
 
 
+def adaptive_grad_clip(
+    percentile: float = 10.0, history: int = 100
+) -> optax.GradientTransformation:
+    """Percentile-history gradient clipping — the optax equivalent of the
+    reference's AutoGradClip (utils/utils.py:474-503, defined upstream but
+    never wired into training; provided here for capability parity and
+    opt-in use via optax.chain).
+
+    Keeps a rolling buffer of recent global grad norms and clips to the
+    ``percentile``-th percentile of that history.
+    """
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        del params
+        return {
+            "norms": jnp.zeros((history,), jnp.float32),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates)
+        norms = state["norms"].at[state["count"] % history].set(norm)
+        count = state["count"] + 1
+        n_valid = jnp.minimum(count, history)
+        # percentile over the valid prefix: mask invalid slots to +inf so
+        # they never lower the clip threshold
+        idx = jnp.arange(history)
+        valid = jnp.where(idx < n_valid, norms, jnp.inf)
+        k = jnp.clip(
+            (percentile / 100.0 * n_valid.astype(jnp.float32)).astype(jnp.int32),
+            0, history - 1,
+        )
+        clip_value = jnp.sort(valid)[k]
+        scale = jnp.where(norm > clip_value, clip_value / (norm + 1e-6), 1.0)
+        updates = jax.tree_util.tree_map(lambda g: g * scale, updates)
+        return updates, {"norms": norms, "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def get_learning_rates(opt_state) -> t.Dict[str, float]:
     """Current LR per group (for logging and checkpointing)."""
     lrs = {}
