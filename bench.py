@@ -16,9 +16,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache — kernel compiles through the remote TPU
+# relay are slow; cache hits make reruns start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import jax.numpy as jnp
 import numpy as np
 
