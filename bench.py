@@ -27,6 +27,8 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
+# hardware RNG for dropout mask generation (~5% step time vs threefry)
+jax.config.update("jax_default_prng_impl", "rbg")
 
 import jax.numpy as jnp
 import numpy as np
