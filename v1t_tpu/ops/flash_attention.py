@@ -296,6 +296,134 @@ def _dkv_kernel(
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _merged_bwd_kernel(
+    seed_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    dq_scr, dk_scr, dv_scr,
+    *, n_real: int, nq: int, nk: int, use_lsa: bool,
+    dropout_rate: float, deterministic: bool, block_k: int,
+):
+    """Single-pass backward: dq accumulates in a per-q-block scratch across
+    the inner kj loop; dk/dv accumulate in FULL-LENGTH VMEM scratch across
+    the whole (qi, kj) iteration of one batch*head — 5 MXU matmuls per block
+    pair instead of the 7 a separate-dq design costs (s and dp recomputed
+    once, not twice)."""
+    bh, qi, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init_dq():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    @pl.when(jnp.logical_and(qi == 0, kj == 0))
+    def _init_dkv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :1, :].T  # (BLOCK_Q, 1)
+    delta = delta_ref[0, :1, :].T
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BLOCK_Q, BLOCK_K)
+    mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
+    s = jnp.where(mask, s, MASK_VALUE)
+    p = jnp.exp(s - lse)
+
+    dp_raw = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0 and not deterministic:
+        keep = _dropout_keep_mask(
+            seed_ref[0], bh, qi, kj, nq, nk, s.shape, 1.0 - dropout_rate
+        )
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_dropped = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp_raw * inv_keep, 0.0)
+    else:
+        p_dropped = p
+        dp = dp_raw
+
+    ds = p * (dp - delta)
+
+    # dq[qi] += ds @ k   (accumulates over kj in per-block scratch)
+    dq_scr[...] += jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    )
+    # dv[kj] += p_dropped^T @ dO ; dk[kj] += ds^T @ q  (full-length scratch)
+    ksl = pl.ds(kj * block_k, block_k)
+    dv_scr[ksl, :] += jax.lax.dot_general(
+        p_dropped, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_scr[ksl, :] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kj == nk - 1)
+    def _store_dq():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+    @pl.when(qi == nq - 1)
+    def _store_dkv():
+        dk_ref[0] = dk_scr[ksl, :].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[ksl, :].astype(dv_ref.dtype)
+
+
+def _flash_backward_merged(q, k, v, seed, lse, do, delta, *, n_real, use_lsa,
+                           dropout_rate, deterministic, block_q, block_k):
+    BLOCK_Q, BLOCK_K = block_q, block_k
+    bhn, nq_pad, d_pad = q.shape
+    nk_pad = k.shape[1]
+    nq, nk = nq_pad // BLOCK_Q, nk_pad // BLOCK_K
+    kernel = functools.partial(
+        _merged_bwd_kernel,
+        n_real=n_real, nq=nq, nk=nk, use_lsa=use_lsa,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+        block_k=BLOCK_K,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bhn, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj, *_: (bh, kj, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj, *_: (bh, kj, 0)),
+                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+                pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, kj, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj, *_: (bh, kj, 0)),
+                pl.BlockSpec((1, BLOCK_K, d_pad), lambda bh, qi, kj, *_: (bh, kj, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_Q, d_pad), jnp.float32),
+                pltpu.VMEM((nk_pad, d_pad), jnp.float32),
+                pltpu.VMEM((nk_pad, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+    )(seed, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
                     dropout_rate, deterministic, block_q, block_k):
     BLOCK_Q, BLOCK_K = block_q, block_k
@@ -306,6 +434,16 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
         out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
     )  # (BH, N)
     delta = jnp.broadcast_to(delta[:, None, :], (bhn, 8, nq_pad))
+
+    # merged single-pass backward (default): 5 matmuls/block-pair; the dk/dv
+    # full-length scratch (nk_pad x d_pad fp32 x2) must fit VMEM
+    merged_ok = nk_pad * d_pad * 4 * 2 <= 8 * 1024 * 1024
+    if merged_ok and _os.environ.get("V1T_FLASH_MERGED_BWD", "1") == "1":
+        return _flash_backward_merged(
+            q, k, v, seed, lse, do, delta,
+            n_real=n_real, use_lsa=use_lsa, dropout_rate=dropout_rate,
+            deterministic=deterministic, block_q=block_q, block_k=block_k,
+        )
 
     common = dict(
         n_real=n_real, nq=nq, nk=nk, use_lsa=use_lsa,
