@@ -187,7 +187,10 @@ class Scheduler:
     def step(self, value: float, epoch: int, params, opt_state, model_state=None):
         """Returns (terminate, params, opt_state) — params/opt_state may be
         rolled back to the best checkpoint with decayed LRs
-        (reference scheduler.py:173-197)."""
+        (reference scheduler.py:173-197). When a ``model_state`` dict is
+        passed (BatchNorm statistics), it is checkpointed and rolled back
+        with the parameters (mutated in place so the 3-tuple return stays
+        stable for callers)."""
         terminate = False
         value = float(value)
         if self.is_better(value):
@@ -208,8 +211,15 @@ class Scheduler:
                         )
                 else:
                     self.num_reduce += 1
-                    # roll back parameters (not optimizer moments), then decay
-                    _, params, _ = self.restore(params)
+                    # roll back model state (not optimizer moments), then decay
+                    if model_state:
+                        _, params, _, restored_state = self.restore(
+                            params, model_state=model_state
+                        )
+                        model_state.clear()
+                        model_state.update(restored_state)
+                    else:
+                        _, params, _ = self.restore(params)
                     opt_state = optim.scale_learning_rates(opt_state, self.factor)
                     if self.verbose:
                         lrs = optim.get_learning_rates(opt_state)
