@@ -1,0 +1,103 @@
+"""pretrain.py CLI end-to-end on a tiny ImageFolder, then inject the
+pretrained core into a downstream model via --pretrain_core."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pretrain as pretrain_cli
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("imagenet")
+    rng = np.random.default_rng(0)
+    for cls in ("class_a", "class_b"):
+        d = root / cls
+        d.mkdir()
+        for i in range(20):
+            arr = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    return str(root)
+
+
+class Args:
+    mode = 0
+    core = "vit"
+    epochs = 2
+    batch_size = 8
+    limit_data = None
+    resize_image = 1
+    num_blocks = 1
+    num_heads = 2
+    emb_dim = 16
+    mlp_dim = 16
+    patch_size = 8
+    patch_stride = 8
+    p_dropout = 0.0
+    t_dropout = 0.0
+    core_reg_scale = 0.0
+    lr = 1e-3
+    seed = 0
+    precision = "fp32"
+    verbose = 0
+
+
+def test_pretrain_classification_and_injection(image_folder, tmp_path):
+    args = Args()
+    args.dataset = image_folder
+    args.output_dir = str(tmp_path / "pre")
+    pretrain_cli.main(args)
+    ckpt = os.path.join(args.output_dir, "ckpt", "model_state.msgpack")
+    assert os.path.exists(ckpt)
+
+    from v1t_tpu.utils.scheduler import load_checkpoint_file
+
+    payload = load_checkpoint_file(ckpt)
+    assert "core" in payload["model"]  # consumable by --pretrain_core
+    assert "head" in payload["model"]
+
+    # downstream injection + freeze
+    from v1t_tpu.configs import Config
+    from v1t_tpu.data.cards import synthetic_data_card
+    from v1t_tpu.models import build_model
+    from v1t_tpu.models.model import init_model
+    from v1t_tpu.pretrained import load_pretrain_core
+
+    cfg = Config(
+        core="vit", readout="gaussian2d", behavior_mode=0, shift_mode=0,
+        num_blocks=1, num_heads=2, emb_dim=16, mlp_dim=16, patch_size=8,
+        patch_stride=8, precision="fp32", resize_image=0,
+        pretrain_core=args.output_dir, verbose=0,
+    )
+    card = synthetic_data_card(
+        mouse_ids=("A",), num_neurons=10, input_shape=(1, 36, 64)
+    )
+    model = build_model(cfg, card)
+    params = init_model(model, seed=1)
+    new_params = load_pretrain_core(cfg, params)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_params["core"]),
+        jax.tree_util.tree_leaves(payload["model"]["core"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pretrain_reconstruction(image_folder, tmp_path):
+    args = Args()
+    args.dataset = image_folder
+    args.output_dir = str(tmp_path / "recon")
+    args.mode = 1
+    args.epochs = 1
+    pretrain_cli.main(args)
+    assert os.path.exists(
+        os.path.join(args.output_dir, "ckpt", "model_state.msgpack")
+    )
