@@ -178,3 +178,31 @@ def test_shuffle_differs_across_epochs(sensorium_dir):
     ids2 = next(iter(train["A"]))["trial_id"]
     assert sorted(ids1) == sorted(ids2)
     assert not np.array_equal(ids1, ids2)
+
+
+def test_cycle_loaders_unequal_lengths(sensorium_dir):
+    """Shorter loaders cycle until the longest is exhausted; len is
+    num_mice * max_iterations (reference data.py:71-103)."""
+    cfg_a = _config(sensorium_dir, mouse_ids=["A"])
+    cfg_b = _config(sensorium_dir, mouse_ids=["B"], limit_data=20, seed=1)
+    from v1t_tpu.data.datasets import MouseDataset
+    from v1t_tpu.data.loaders import BatchLoader
+
+    loader_a = BatchLoader(
+        MouseDataset(cfg_a, tier="train", data_dir=sensorium_dir, mouse_id="A"),
+        batch_size=10,
+    )  # 60 trials -> 6 batches
+    loader_b = BatchLoader(
+        MouseDataset(cfg_b, tier="train", data_dir=sensorium_dir, mouse_id="B"),
+        batch_size=10,
+    )  # 20 trials -> 2 batches
+    cyc = CycleLoaders({"A": loader_a, "B": loader_b})
+    assert len(cyc) == 2 * 6
+    seq = list(cyc)
+    assert len(seq) == 12
+    # A appears 6 times with its 6 distinct batches; B cycles its 2 batches 3x
+    a_batches = [b for m, b in seq if m == "A"]
+    b_batches = [b for m, b in seq if m == "B"]
+    assert len(a_batches) == 6 and len(b_batches) == 6
+    b_ids = [tuple(b["trial_id"]) for b in b_batches]
+    assert len(set(b_ids)) == 2  # two distinct batches, repeated
