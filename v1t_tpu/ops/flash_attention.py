@@ -129,12 +129,171 @@ def _fwd_kernel(
         lse_ref[0] = jnp.broadcast_to(lse_val.T, (8, lse_val.shape[0]))
 
 
+def _fwd_kernel_fullk(
+    seed_ref,
+    q_ref, k_ref, v_ref,
+    o_ref, lse_ref,
+    *, n_real: int, nq: int, nk: int, block_k: int, use_lsa: bool,
+    dropout_rate: float, deterministic: bool,
+):
+    """Whole-K variant: all keys/values of one (batch*head) live in VMEM, so
+    the kj grid dimension disappears (2x fewer programs at V1T size) and the
+    softmax statistics stay in registers — no scratch, no cross-program
+    carry. The unrolled chunk loop keeps the scores tile at
+    (BLOCK_Q, block_k)."""
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    q = q_ref[0]  # (BLOCK_Q, D)
+    block_q = q.shape[0]
+
+    m = jnp.full((block_q, 1), MASK_VALUE, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+    for kj in range(nk):
+        k = k_ref[0, kj * block_k : (kj + 1) * block_k, :]
+        v = v_ref[0, kj * block_k : (kj + 1) * block_k, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
+        s = jnp.where(mask, s, MASK_VALUE)
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+        m = m_next
+        if dropout_rate > 0.0 and not deterministic:
+            keep = _dropout_keep_mask(
+                seed_ref[0], bh, qi, kj, nq, nk, s.shape, 1.0 - dropout_rate
+            )
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        acc = acc * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    lse_val = m + jnp.log(jnp.maximum(l, 1e-37))
+    lse_ref[0] = jnp.broadcast_to(lse_val.T, (8, block_q))
+
+
+def _merged_bwd_kernel_fullk(
+    seed_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, n_real: int, nq: int, nk: int, block_k: int, use_lsa: bool,
+    dropout_rate: float, deterministic: bool,
+):
+    """Whole-K merged backward: grid (bh, qi); dq in registers (complete per
+    program); dk/dv accumulate in full-length VMEM scratch across qi and are
+    written once at the end of each batch*head."""
+    bh, qi = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init_dkv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :1, :].T  # (BLOCK_Q, 1)
+    delta = delta_ref[0, :1, :].T
+    dq = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
+
+    for kj in range(nk):
+        ksl = pl.ds(kj * block_k, block_k)
+        k = k_ref[0, ksl, :]
+        v = v_ref[0, ksl, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
+        s = jnp.where(mask, s, MASK_VALUE)
+        p = jnp.exp(s - lse)
+        dp_raw = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_rate > 0.0 and not deterministic:
+            keep = _dropout_keep_mask(
+                seed_ref[0], bh, qi, kj, nq, nk, s.shape, 1.0 - dropout_rate
+            )
+            inv_keep = 1.0 / (1.0 - dropout_rate)
+            p_dropped = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp_raw * inv_keep, 0.0)
+        else:
+            p_dropped = p
+            dp = dp_raw
+        ds = p * (dp - delta)
+        dq += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+        dv_scr[ksl, :] += jax.lax.dot_general(
+            p_dropped, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[ksl, :] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(qi == nq - 1)
+    def _store_dkv():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _fullk_fits(nk_pad: int, d_pad: int, itemsize: int) -> bool:
+    """Whole-K kernels need k+v blocks (+ fp32 dk/dv scratch in the bwd) in
+    VMEM alongside the working tiles."""
+    kv_bytes = 2 * nk_pad * d_pad * itemsize
+    scr_bytes = 2 * nk_pad * d_pad * 4
+    return (
+        kv_bytes + scr_bytes <= 10 * 1024 * 1024
+        and _os.environ.get("V1T_FLASH_FULLK", "0") == "1"
+    )
+
+
 def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate,
                    deterministic, block_q, block_k):
     BLOCK_Q, BLOCK_K = block_q, block_k
     bhn, nq_pad, d_pad = q.shape
     nk_pad = k.shape[1]
     nq, nk = nq_pad // BLOCK_Q, nk_pad // BLOCK_K
+
+    if _fullk_fits(nk_pad, d_pad, q.dtype.itemsize):
+        kernel = functools.partial(
+            _fwd_kernel_fullk,
+            n_real=n_real, nq=nq, nk=nk, block_k=BLOCK_K, use_lsa=use_lsa,
+            dropout_rate=dropout_rate, deterministic=deterministic,
+        )
+        out, lse = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bhn, nq),
+                in_specs=[
+                    pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, *_: (bh, qi, 0)),
+                    pl.BlockSpec((1, nk_pad, d_pad), lambda bh, qi, *_: (bh, 0, 0)),
+                    pl.BlockSpec((1, nk_pad, d_pad), lambda bh, qi, *_: (bh, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, *_: (bh, qi, 0)),
+                    pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, *_: (bh, 0, qi)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(q.shape, q.dtype),
+                jax.ShapeDtypeStruct((bhn, 8, nq_pad), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+        )(seed, q, k, v)
+        return out, lse
     kernel = functools.partial(
         _fwd_kernel,
         n_real=n_real,
@@ -434,6 +593,46 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
         out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
     )  # (BH, N)
     delta = jnp.broadcast_to(delta[:, None, :], (bhn, 8, nq_pad))
+
+    if _fullk_fits(nk_pad, d_pad, q.dtype.itemsize):
+        kernel = functools.partial(
+            _merged_bwd_kernel_fullk,
+            n_real=n_real, nq=nq, nk=nk, block_k=BLOCK_K, use_lsa=use_lsa,
+            dropout_rate=dropout_rate, deterministic=deterministic,
+        )
+        dq, dk, dv = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bhn, nq),
+                in_specs=[
+                    pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, *_: (bh, qi, 0)),
+                    pl.BlockSpec((1, nk_pad, d_pad), lambda bh, qi, *_: (bh, 0, 0)),
+                    pl.BlockSpec((1, nk_pad, d_pad), lambda bh, qi, *_: (bh, 0, 0)),
+                    pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, *_: (bh, qi, 0)),
+                    pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, *_: (bh, 0, qi)),
+                    pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, *_: (bh, 0, qi)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, qi, *_: (bh, qi, 0)),
+                    pl.BlockSpec((1, nk_pad, d_pad), lambda bh, qi, *_: (bh, 0, 0)),
+                    pl.BlockSpec((1, nk_pad, d_pad), lambda bh, qi, *_: (bh, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((nk_pad, d_pad), jnp.float32),
+                    pltpu.VMEM((nk_pad, d_pad), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(q.shape, q.dtype),
+                jax.ShapeDtypeStruct(k.shape, k.dtype),
+                jax.ShapeDtypeStruct(v.shape, v.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+        )(seed, q, k, v, do, lse, delta)
+        return dq, dk, dv
 
     # merged single-pass backward (default): 5 matmuls/block-pair; the dk/dv
     # full-length scratch (nk_pad x d_pad fp32 x2) must fit VMEM
