@@ -253,7 +253,7 @@ def _fullk_fits(nk_pad: int, d_pad: int, itemsize: int) -> bool:
     scr_bytes = 2 * nk_pad * d_pad * 4
     return (
         kv_bytes + scr_bytes <= 10 * 1024 * 1024
-        and _os.environ.get("V1T_FLASH_FULLK", "0") == "1"
+        and _os.environ.get("V1T_FLASH_FULLK", "1") == "1"
     )
 
 
@@ -594,7 +594,13 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
     )  # (BH, N)
     delta = jnp.broadcast_to(delta[:, None, :], (bhn, 8, nq_pad))
 
-    if _fullk_fits(nk_pad, d_pad, q.dtype.itemsize):
+    # whole-K backward needs double-buffered full-length dk/dv outputs in
+    # VMEM on top of the scratch — only worth it for small K; opt-in
+    bwd_fullk = (
+        _os.environ.get("V1T_FLASH_FULLK_BWD", "0") == "1"
+        and _fullk_fits(nk_pad, d_pad, q.dtype.itemsize)
+    )
+    if bwd_fullk:
         kernel = functools.partial(
             _merged_bwd_kernel_fullk,
             n_real=n_real, nq=nq, nk=nk, block_k=BLOCK_K, use_lsa=use_lsa,
