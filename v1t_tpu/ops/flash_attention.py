@@ -60,6 +60,20 @@ def _dropout_keep_mask(seed_base, bh, qi, kj, nq, nk, shape, keep_prob: float):
     return bits < threshold
 
 
+def _tile(ref, row_slice=None):
+    """Read a (rows, D) tile from a 3D (1, rows, D) or 4D (1, rows, 1, D)
+    block (the BNHD layout threads a singleton head dim through the specs)."""
+    if len(ref.shape) == 3:
+        return ref[0] if row_slice is None else ref[0, row_slice, :]
+    return ref[0, :, 0, :] if row_slice is None else ref[0, row_slice, 0, :]
+
+
+def _stats(ref):
+    """(8, BLOCK_Q) statistics tile from a 3D (1, 8, BQ) or 4D (1, 1, 8, BQ)
+    block."""
+    return ref[0] if len(ref.shape) == 3 else ref[0, 0]
+
+
 def _block_mask(qi, kj, shape, n_real: int, use_lsa: bool):
     """True where the score is VALID. Masks padded keys and (LSA) the
     diagonal."""
@@ -134,23 +148,28 @@ def _fwd_kernel_fullk(
     q_ref, k_ref, v_ref,
     o_ref, lse_ref,
     *, n_real: int, nq: int, nk: int, block_k: int, use_lsa: bool,
-    dropout_rate: float, deterministic: bool,
+    dropout_rate: float, deterministic: bool, num_h: int = 0,
 ):
     """Whole-K variant: all keys/values of one (batch*head) live in VMEM, so
     the kj grid dimension disappears (2x fewer programs at V1T size) and the
     softmax statistics stay in registers — no scratch, no cross-program
     carry. The unrolled chunk loop keeps the scores tile at
-    (BLOCK_Q, block_k)."""
-    bh, qi = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0]  # (BLOCK_Q, D)
+    (BLOCK_Q, block_k). With num_h set (BNHD layout) the grid carries a
+    separate head dim."""
+    if num_h:
+        bh = pl.program_id(0) * num_h + pl.program_id(1)
+        qi = pl.program_id(2)
+    else:
+        bh, qi = pl.program_id(0), pl.program_id(1)
+    q = _tile(q_ref)  # (BLOCK_Q, D)
     block_q = q.shape[0]
 
     m = jnp.full((block_q, 1), MASK_VALUE, jnp.float32)
     l = jnp.zeros((block_q, 1), jnp.float32)
     acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
     for kj in range(nk):
-        k = k_ref[0, kj * block_k : (kj + 1) * block_k, :]
-        v = v_ref[0, kj * block_k : (kj + 1) * block_k, :]
+        k = _tile(k_ref, slice(kj * block_k, (kj + 1) * block_k))
+        v = _tile(v_ref, slice(kj * block_k, (kj + 1) * block_k))
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -172,9 +191,15 @@ def _fwd_kernel_fullk(
         )
 
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
     lse_val = m + jnp.log(jnp.maximum(l, 1e-37))
-    lse_ref[0] = jnp.broadcast_to(lse_val.T, (8, block_q))
+    if len(o_ref.shape) == 3:
+        o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    else:
+        o_ref[0, :, 0, :] = (acc * l_inv).astype(o_ref.dtype)
+    if len(lse_ref.shape) == 3:
+        lse_ref[0] = jnp.broadcast_to(lse_val.T, (8, block_q))
+    else:
+        lse_ref[0, 0] = jnp.broadcast_to(lse_val.T, (8, block_q))
 
 
 def _merged_bwd_kernel_fullk(
@@ -461,7 +486,7 @@ def _merged_bwd_kernel(
     dq_ref, dk_ref, dv_ref,
     dq_scr, dk_scr, dv_scr,
     *, n_real: int, nq: int, nk: int, use_lsa: bool,
-    dropout_rate: float, deterministic: bool, block_k: int,
+    dropout_rate: float, deterministic: bool, block_k: int, num_h: int = 0,
 ):
     """Single-pass backward: dq accumulates in a per-q-block scratch across
     the inner kj loop; dk/dv accumulate in FULL-LENGTH VMEM scratch across
@@ -479,12 +504,12 @@ def _merged_bwd_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, :1, :].T  # (BLOCK_Q, 1)
-    delta = delta_ref[0, :1, :].T
+    q = _tile(q_ref)
+    k = _tile(k_ref)
+    v = _tile(v_ref)
+    do = _tile(do_ref).astype(jnp.float32)
+    lse = _stats(lse_ref)[:1, :].T  # (BLOCK_Q, 1)
+    delta = _stats(delta_ref)[:1, :].T
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -527,12 +552,19 @@ def _merged_bwd_kernel(
 
     @pl.when(kj == nk - 1)
     def _store_dq():
-        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+        if len(dq_ref.shape) == 3:
+            dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+        else:
+            dq_ref[0, :, 0, :] = dq_scr[...].astype(dq_ref.dtype)
 
     @pl.when(qi == nq - 1)
     def _store_dkv():
-        dk_ref[0] = dk_scr[ksl, :].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[ksl, :].astype(dv_ref.dtype)
+        if len(dk_ref.shape) == 3:
+            dk_ref[0] = dk_scr[ksl, :].astype(dk_ref.dtype)
+            dv_ref[0] = dv_scr[ksl, :].astype(dv_ref.dtype)
+        else:
+            dk_ref[0, ksl, 0, :] = dk_scr[ksl, :].astype(dk_ref.dtype)
+            dv_ref[0, ksl, 0, :] = dv_scr[ksl, :].astype(dv_ref.dtype)
 
 
 def _flash_backward_merged(q, k, v, seed, lse, do, delta, *, n_real, use_lsa,
@@ -752,6 +784,7 @@ def _flash_core_bwd(static_cfg, residuals, do):
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
 
 
 # --- public API ------------------------------------------------------------------
