@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import typing as t
+import zlib
 
 import numpy as np
 
@@ -36,7 +37,11 @@ def generate_mouse(
     seed: int = 0,
 ) -> str:
     """Write one synthetic scan directory; returns its path."""
-    rng = np.random.default_rng(seed + hash(mouse_id) % 1000)
+    # zlib.crc32, NOT hash(): str hash is salted per-process (PYTHONHASHSEED),
+    # which would make fixture data differ between runs
+    rng = np.random.default_rng(
+        seed + zlib.crc32(mouse_id.encode("utf-8")) % 1000
+    )
     mouse_dir = os.path.join(data_dir, get_mouse2path(ds_name)[mouse_id])
     c, h, w = image_shape
 
