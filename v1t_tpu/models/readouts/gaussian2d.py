@@ -32,7 +32,7 @@ from flax import linen as nn
 
 from v1t_tpu.data.cards import NeuronCard
 from v1t_tpu.models.registry import register_readout
-from v1t_tpu.ops.grid_sample import grid_sample
+from v1t_tpu.ops.grid_sample import grid_sample_tokens
 
 
 def _straight_through_clamp(x: jax.Array, lo: float, hi: float) -> jax.Array:
@@ -163,16 +163,23 @@ class Gaussian2DReadout(nn.Module):
         sample: t.Optional[bool] = None,
     ) -> jax.Array:
         """inputs: (B, C, h, w) core output -> (B, N) responses (pre-ELU1)."""
-        batch_size, c = inputs.shape[0], inputs.shape[1]
+        batch_size, c, h, w = inputs.shape
         sample = train if sample is None else sample
         rng = self.make_rng("sample") if sample else None
         grid = self.sample_grid(batch_size=batch_size, sample=sample, rng=rng)
         if shifts is not None:
             grid = grid + shifts[:, None, None, :]
-        outputs = grid_sample(inputs, grid, mode="bilinear")  # (B, C, N, 1)
-        outputs = jnp.squeeze(outputs, axis=-1)  # (B, C, N)
-        features = self.features.reshape(1, c, self.num_neurons)
-        outputs = jnp.sum(outputs * features, axis=1)  # (B, N)
+        # token-major sampling: the transpose cancels against the core's
+        # (b n c) -> (b c h w) output rearrange, so neither materializes
+        flat = inputs.reshape(batch_size, c, h * w).transpose(0, 2, 1)
+        sampled = grid_sample_tokens(
+            flat, grid.reshape(batch_size, self.num_neurons, 2),
+            height=h, width=w, mode="bilinear",
+        )  # (B, N, C)
+        features = jnp.transpose(
+            self.features.reshape(c, self.num_neurons)
+        )  # (N, C)
+        outputs = jnp.sum(sampled * features[None], axis=2)  # (B, N)
         if self.use_bias:
             outputs = outputs + self.bias
         return outputs

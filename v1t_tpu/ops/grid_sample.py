@@ -29,39 +29,50 @@ def _unnormalize(coord: jax.Array, size: int) -> jax.Array:
 def _gather_2d(flat: jax.Array, ix: jax.Array, iy: jax.Array, width: int) -> jax.Array:
     """Gather values at integer pixel coords.
 
-    flat: (B, C, H*W); ix/iy: (B, P) int32 already clipped in-bounds.
-    Returns (B, C, P).
+    flat: (B, H*W, C) token-major; ix/iy: (B, P) int32 already clipped
+    in-bounds. Returns (B, P, C).
+
+    Token-major gathers keep each gathered row contiguous over channels AND
+    cancel against the core's ``(b n c) -> (b c h w)`` output rearrange —
+    gathering a channel-major (B, C, H*W) table instead makes XLA materialize
+    a pathological ~1 GB/s relayout of the feature map (measured 30 ms/step
+    at V1T batch 64).
     """
     idx = iy * width + ix  # (B, P)
-    return jnp.take_along_axis(flat, idx[:, None, :], axis=2)
+    return jnp.take_along_axis(flat, idx[:, :, None], axis=1)
 
 
-def grid_sample(
-    inputs: jax.Array,
+def grid_sample_tokens(
+    flat: jax.Array,
     grid: jax.Array,
+    height: int,
+    width: int,
     mode: str = "bilinear",
 ) -> jax.Array:
-    """Sample ``inputs`` at (x, y) locations in ``grid``.
+    """Sample a token-major feature table at (x, y) locations in ``grid``.
 
     Args:
-        inputs: (B, C, H, W) feature map.
-        grid: (B, Hg, Wg, 2) sampling locations with (x, y) in [-1, 1];
+        flat: (B, H*W, C) feature table, rows in row-major (y, x) order.
+        grid: (B, P, 2) sampling locations with (x, y) in [-1, 1];
             align_corners=True convention, zero padding outside.
+        height/width: spatial extent the rows of ``flat`` enumerate.
         mode: "bilinear" or "nearest".
     Returns:
-        (B, C, Hg, Wg) sampled values.
+        (B, P, C) sampled values.
+
+    This is the layout-native entry point: the V1T core produces token-major
+    activations, so sampling here involves zero relayouts (the channel-major
+    ``grid_sample`` wrapper costs a feature-map transpose each way).
     """
-    assert inputs.ndim == 4 and grid.ndim == 4 and grid.shape[-1] == 2
-    b, c, h, w = inputs.shape
-    gb, gh, gw, _ = grid.shape
-    assert gb == b, f"batch mismatch: {b} vs {gb}"
+    assert flat.ndim == 3 and grid.ndim == 3 and grid.shape[-1] == 2
+    b = flat.shape[0]
+    h, w = height, width
 
     # weights/coordinates in fp32; the gathers themselves stay in the input
     # dtype (bf16 halves gather + backward-scatter HBM traffic)
     compute_dtype = jnp.promote_types(jnp.float32, grid.dtype)
-    x = _unnormalize(grid[..., 0].astype(compute_dtype).reshape(b, gh * gw), w)
-    y = _unnormalize(grid[..., 1].astype(compute_dtype).reshape(b, gh * gw), h)
-    flat = inputs.reshape(b, c, h * w)
+    x = _unnormalize(grid[..., 0].astype(compute_dtype), w)
+    y = _unnormalize(grid[..., 1].astype(compute_dtype), h)
 
     def corner_value(ix_i: jax.Array, iy_i: jax.Array) -> jax.Array:
         valid = (
@@ -69,9 +80,9 @@ def grid_sample(
         )  # (B, P)
         ix_c = jnp.clip(ix_i, 0, w - 1).astype(jnp.int32)
         iy_c = jnp.clip(iy_i, 0, h - 1).astype(jnp.int32)
-        vals = _gather_2d(flat, ix_c, iy_c, w)  # (B, C, P) in inputs.dtype
+        vals = _gather_2d(flat, ix_c, iy_c, w)  # (B, P, C) in inputs.dtype
         vals = vals.astype(compute_dtype)
-        return jnp.where(valid[:, None, :], vals, jnp.zeros((), compute_dtype))
+        return jnp.where(valid[:, :, None], vals, jnp.zeros((), compute_dtype))
 
     if mode == "nearest":
         # torch rounds with round-half-to-even (std::nearbyint); jnp.round too.
@@ -95,15 +106,41 @@ def grid_sample(
         v10 = corner_value(ix0, iy1)
         v11 = corner_value(ix1, iy1)
         out = (
-            v00 * (wx0 * wy0)[:, None, :]
-            + v01 * (wx1 * wy0)[:, None, :]
-            + v10 * (wx0 * wy1)[:, None, :]
-            + v11 * (wx1 * wy1)[:, None, :]
+            v00 * (wx0 * wy0)[:, :, None]
+            + v01 * (wx1 * wy0)[:, :, None]
+            + v10 * (wx0 * wy1)[:, :, None]
+            + v11 * (wx1 * wy1)[:, :, None]
         )
     else:
         raise ValueError(f"grid_sample mode {mode!r} not supported")
 
-    return out.reshape(b, c, gh, gw).astype(inputs.dtype)
+    return out.astype(flat.dtype)
+
+
+def grid_sample(
+    inputs: jax.Array,
+    grid: jax.Array,
+    mode: str = "bilinear",
+) -> jax.Array:
+    """Sample ``inputs`` at (x, y) locations in ``grid``.
+
+    Args:
+        inputs: (B, C, H, W) feature map.
+        grid: (B, Hg, Wg, 2) sampling locations with (x, y) in [-1, 1];
+            align_corners=True convention, zero padding outside.
+        mode: "bilinear" or "nearest".
+    Returns:
+        (B, C, Hg, Wg) sampled values.
+    """
+    assert inputs.ndim == 4 and grid.ndim == 4 and grid.shape[-1] == 2
+    b, c, h, w = inputs.shape
+    gb, gh, gw, _ = grid.shape
+    assert gb == b, f"batch mismatch: {b} vs {gb}"
+    flat = inputs.reshape(b, c, h * w).transpose(0, 2, 1)  # (B, H*W, C)
+    out = grid_sample_tokens(
+        flat, grid.reshape(b, gh * gw, 2), height=h, width=w, mode=mode
+    )  # (B, Hg*Wg, C)
+    return out.transpose(0, 2, 1).reshape(b, c, gh, gw)
 
 
 def resize_bilinear(images: jax.Array, height: int, width: int) -> jax.Array:
