@@ -209,6 +209,8 @@ def add_common_args(parser: argparse.ArgumentParser):
                         choices=["bf16", "fp32"])
     parser.add_argument("--attention_impl", type=str, default="auto",
                         choices=["auto", "pallas", "xla"])
+    parser.add_argument("--readout_impl", type=str, default="auto",
+                        choices=["auto", "pallas", "xla"])
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="devices for DP; 0 = all local devices")
     parser.add_argument("--grad_checkpointing", type=int, default=None,

@@ -103,6 +103,9 @@ class Config:
 
     # attention kernel selection (new, TPU-native)
     attention_impl: str = "auto"  # "auto" | "pallas" | "xla"
+    # readout bilinear-sampling implementation (new, TPU-native):
+    # "auto" = MXU interp-matmul kernel for bf16 on TPU, XLA gathers else
+    readout_impl: str = "auto"  # "auto" | "pallas" | "xla"
 
     # ensemble settings (reference ensemble.py:441-543)
     ensemble_mode: int = 0  # 0 average / 1 shared Linear / 2 per-mouse Linear

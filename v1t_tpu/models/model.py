@@ -44,6 +44,7 @@ class Readouts(nn.Module):
     grid_predictor_dim: int = 2
     bias_mode: int = 0
     dtype: t.Any = None
+    impl: str = "auto"
 
     def setup(self):
         cls = get_readout(self.model)
@@ -60,6 +61,7 @@ class Readouts(nn.Module):
                     use_grid_predictor=self.use_grid_predictor,
                     grid_predictor_dim=self.grid_predictor_dim,
                     bias_mode=self.bias_mode,
+                    impl=self.impl,
                 )
             readouts[mouse_id] = cls(**kwargs)
         self.readouts = readouts
@@ -114,6 +116,7 @@ class Model(nn.Module):
             grid_predictor_dim=cfg.grid_predictor_dim,
             bias_mode=cfg.bias_mode,
             dtype=self.dtype,
+            impl=getattr(cfg, "readout_impl", "auto"),
             name="readouts",
         )
 

@@ -33,6 +33,7 @@ from flax import linen as nn
 from v1t_tpu.data.cards import NeuronCard
 from v1t_tpu.models.registry import register_readout
 from v1t_tpu.ops.grid_sample import grid_sample_tokens
+from v1t_tpu.ops.interp_matmul import interp_matmul_sample
 
 
 def _straight_through_clamp(x: jax.Array, lo: float, hi: float) -> jax.Array:
@@ -54,6 +55,10 @@ class Gaussian2DReadout(nn.Module):
     init_sigma: float = 0.1
     gaussian_type: str = "full"
     dtype: t.Any = None
+    # bilinear sampling implementation: "auto" picks the MXU interp-matmul
+    # kernel on TPU for bf16 compute (ops/interp_matmul.py) and the exact
+    # XLA gather path otherwise; "xla" / "pallas" force one
+    impl: str = "auto"
 
     @property
     def num_neurons(self) -> int:
@@ -172,10 +177,18 @@ class Gaussian2DReadout(nn.Module):
         # token-major sampling: the transpose cancels against the core's
         # (b n c) -> (b c h w) output rearrange, so neither materializes
         flat = inputs.reshape(batch_size, c, h * w).transpose(0, 2, 1)
-        sampled = grid_sample_tokens(
-            flat, grid.reshape(batch_size, self.num_neurons, 2),
-            height=h, width=w, mode="bilinear",
-        )  # (B, N, C)
+        grid = grid.reshape(batch_size, self.num_neurons, 2)
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto"
+            and flat.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            sampled = interp_matmul_sample(flat, grid, height=h, width=w)
+        else:
+            sampled = grid_sample_tokens(
+                flat, grid, height=h, width=w, mode="bilinear"
+            )  # (B, N, C)
         features = jnp.transpose(
             self.features.reshape(c, self.num_neurons)
         )  # (N, C)
