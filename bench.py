@@ -43,7 +43,7 @@ def main():
     from v1t_tpu.models import build_model, model_regularizer
     from v1t_tpu.models.model import init_model
 
-    batch_size = 64
+    batch_size = int(os.environ.get("V1T_BENCH_BATCH", 64))
     config = Config(
         core="vit",
         readout="gaussian2d",

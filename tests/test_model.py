@@ -91,7 +91,7 @@ def test_param_structure_and_labels():
     assert set(params["core_shifter"].keys()) == {"shifter_A", "shifter_B"}
 
     labels = param_labels(params)
-    assert labels["core"]["transformer"]["block0_mha"]["to_qkv"]["kernel"] == "core"
+    assert labels["core"]["transformer"]["block0_mha"]["to_qkv_kernel"] == "core"
     assert (
         labels["readouts"]["readout_A"]["features"] == "rest"
     )

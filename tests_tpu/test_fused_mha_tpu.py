@@ -1,0 +1,143 @@
+"""TPU tests for the fused attention-sublayer kernel
+(v1t_tpu/ops/fused_mha.py) — parity vs the composed XLA path and dispatch
+assertion for the model's "auto" attention_impl.
+
+Shipped numbers (v5e, V1T shape B=64, N=1654, E=155, H=4, dropout 0.2544):
+fwd 8.1 ms + bwd 16.1 ms per layer, replacing 6.1 + 13.3 ms of split-kernel
+time PLUS ~18 ms/layer of XLA reshapes/pads/concats/projections. Full V1T
+train step 199 -> ~138 ms (465 images/s/chip).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from v1t_tpu.ops.attention import multi_head_attention
+from v1t_tpu.ops.fused_mha import fused_mha
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="requires TPU hardware",
+)
+
+
+def _params(b=3, n=300, e=32, h=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(b, n, e)) * 0.5, jnp.bfloat16),
+        jnp.asarray(rng.normal(size=(3, h, e, e)) * 0.08, jnp.bfloat16),
+        jnp.asarray(rng.normal(size=(h, e, e)) * 0.08, jnp.bfloat16),
+        jnp.asarray(rng.normal(size=(e,)) * 0.1, jnp.bfloat16),
+        jnp.asarray(
+            np.full(h, e**-0.5) * (1 + 0.1 * rng.normal(size=h)), jnp.float32
+        ),
+    )
+
+
+def _composed(x, wqkv, wp, bp, scale, use_lsa):
+    """Reference: projections in XLA + the materializing attention path."""
+    q = jnp.einsum("bne,hed->bhnd", x, wqkv[0])
+    k = jnp.einsum("bne,hed->bhnd", x, wqkv[1])
+    v = jnp.einsum("bne,hed->bhnd", x, wqkv[2])
+    o = multi_head_attention(
+        q, k, v, scale, use_lsa=use_lsa, deterministic=True, impl="xla"
+    )
+    return jnp.einsum("bhnd,hde->bne", o, wp) + bp
+
+
+@pytest.mark.parametrize("use_lsa", [False, True])
+def test_forward_parity(use_lsa):
+    x, wqkv, wp, bp, scale = _params()
+    ref = _composed(
+        x.astype(jnp.float32), wqkv.astype(jnp.float32),
+        wp.astype(jnp.float32), bp.astype(jnp.float32), scale, use_lsa,
+    )
+    out = fused_mha(x, wqkv, wp, bp, scale, use_lsa=use_lsa, deterministic=True)
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) < 5e-3
+    assert np.isfinite(np.asarray(out, jnp.float32)).all()
+
+
+def test_gradient_parity():
+    x, wqkv, wp, bp, scale = _params()
+
+    def loss(fn, *args):
+        return jnp.sum(fn(*args).astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(
+        lambda *a: loss(
+            functools.partial(fused_mha, use_lsa=True, deterministic=True), *a
+        ),
+        argnums=(0, 1, 2, 3, 4),
+    )(x, wqkv, wp, bp, scale)
+    g_ref = jax.grad(
+        lambda *a: loss(functools.partial(_composed, use_lsa=True), *a),
+        argnums=(0, 1, 2, 3, 4),
+    )(
+        x.astype(jnp.float32), wqkv.astype(jnp.float32),
+        wp.astype(jnp.float32), bp.astype(jnp.float32), scale,
+    )
+    for name, a, b in zip(
+        ("dx", "dwqkv", "dwp", "dbp", "dscale"), g_fused, g_ref
+    ):
+        rel = float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b))
+            / (jnp.max(jnp.abs(b)) + 1e-9)
+        )
+        assert rel < 2e-2, (name, rel)
+
+
+def test_dropout_statistics_and_determinism():
+    x, wqkv, wp, bp, scale = _params()
+    key = jax.random.key(7)
+    run = lambda k: fused_mha(
+        x, wqkv, wp, bp, scale, use_lsa=True, dropout_rate=0.5,
+        deterministic=False, rng=k,
+    )
+    a = run(key)
+    b = run(key)
+    c = run(jax.random.key(8))
+    # same rng -> identical (forward/backward mask regeneration relies on it)
+    assert jnp.array_equal(a, b)
+    assert not jnp.array_equal(a, c)
+    assert np.isfinite(np.asarray(a, jnp.float32)).all()
+
+
+def test_model_auto_dispatch_uses_fused_kernel():
+    """attention_impl='auto' + bf16 on TPU must lower the vit core through
+    the fused kernel (regression guard: a silent fallback would cost ~40%
+    step time)."""
+    from v1t_tpu.configs import Config
+    from v1t_tpu.data.cards import synthetic_data_card
+    from v1t_tpu.models import build_model
+    from v1t_tpu.models.model import init_model
+
+    config = Config(
+        core="vit", readout="gaussian2d", behavior_mode=3, shift_mode=2,
+        precision="bf16", attention_impl="auto", readout_impl="auto",
+        resize_image=0, num_blocks=1, emb_dim=16, num_heads=2, mlp_dim=32,
+        patch_size=8, patch_stride=8,
+    )
+    card = synthetic_data_card(
+        mouse_ids=("A",), num_neurons=512, input_shape=(1, 36, 64)
+    )
+    model = build_model(config, card)
+    params = init_model(model, seed=0, batch_size=1)
+    rng = np.random.default_rng(0)
+    args = (
+        jnp.asarray(rng.normal(size=(2, 1, 36, 64)), jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 2)), jnp.float32),
+    )
+
+    def fwd(params, images, behaviors, pupils):
+        out, _, _ = model.apply(
+            {"params": params}, images, mouse_id="A", behaviors=behaviors,
+            pupil_centers=pupils, train=False,
+        )
+        return out
+
+    hlo = jax.jit(fwd).lower(params, *args).compile().as_text()
+    assert "ops/fused_mha.py" in hlo, "vit fell back to the composed path"

@@ -34,6 +34,7 @@ from flax import linen as nn
 
 from v1t_tpu.models.registry import register_core
 from v1t_tpu.ops.attention import multi_head_attention
+from v1t_tpu.ops.fused_mha import fused_mha
 from v1t_tpu.ops.common import drop_path, find_shape, unfold_output_size, unfold_patches
 
 Dtype = t.Any
@@ -181,32 +182,28 @@ class Attention(nn.Module):
         self, inputs: jax.Array, train: bool = False, return_probs: bool = False
     ):
         b, n, _ = inputs.shape
-        inner_dim = self.emb_dim * self.num_heads
+        e, heads = self.emb_dim, self.num_heads
+        inner_dim = e * heads
 
         x = nn.LayerNorm(name="layer_norm")(inputs)
-        qkv = nn.Dense(
-            features=inner_dim * 3,
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=trunc_normal_init,
-            name="to_qkv",
-        )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # raw projection weights (trunc_normal(0.02) / zero bias like the
+        # reference init, vit.py:338-346) so the fused kernel and the
+        # composed paths share one parameter tree
+        wqkv = self.param("to_qkv_kernel", trunc_normal_init, (e, 3 * inner_dim))
+        wp = self.param("projection_kernel", trunc_normal_init, (inner_dim, e))
+        bp = (
+            self.param("projection_bias", nn.initializers.zeros, (e,))
+            if self.use_bias
+            else jnp.zeros((e,), jnp.float32)
+        )
 
-        def to_heads(y):
-            return jnp.transpose(
-                y.reshape(b, n, self.num_heads, self.emb_dim), (0, 2, 1, 3)
-            )
-
-        q, k, v = to_heads(q), to_heads(k), to_heads(v)
-
-        base_scale = self.emb_dim**-0.5
+        base_scale = e**-0.5
         if self.use_lsa:
             # learnable per-head temperature (reference vit.py:236-239)
             scale = self.param(
                 "scale",
                 lambda key, shape: jnp.full(shape, base_scale, jnp.float32),
-                (self.num_heads,),
+                (heads,),
             )
         else:
             scale = jnp.asarray(base_scale, jnp.float32)
@@ -214,24 +211,55 @@ class Attention(nn.Module):
         rng = None
         if self.dropout > 0.0 and train:
             rng = self.make_rng("dropout")
-        result = multi_head_attention(
-            q,
-            k,
-            v,
-            scale,
-            use_lsa=self.use_lsa,
-            dropout_rate=self.dropout,
-            deterministic=not train,
-            rng=rng,
-            impl=self.attention_impl,
-            return_probs=return_probs,
-        )
-        out, probs = result if return_probs else (result, None)
 
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, inner_dim)
-        out = _dense(
-            self.emb_dim, use_bias=self.use_bias, dtype=self.dtype, name="projection"
-        )(out)
+        dt = self.dtype
+        use_fused = (
+            not return_probs
+            and self.attention_impl in ("auto", "pallas")
+            and dt == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            out = fused_mha(
+                x.astype(dt),
+                wqkv.reshape(e, 3, heads, e).transpose(1, 2, 0, 3).astype(dt),
+                wp.reshape(heads, e, e).astype(dt),
+                bp.astype(dt),
+                scale,
+                use_lsa=self.use_lsa,
+                dropout_rate=self.dropout,
+                deterministic=not train,
+                rng=rng,
+            )
+            probs = None
+        else:
+            if dt is not None:
+                x = x.astype(dt)
+            qkv = x @ wqkv.astype(x.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def to_heads(y):
+                return jnp.transpose(
+                    y.reshape(b, n, heads, e), (0, 2, 1, 3)
+                )
+
+            q, k, v = to_heads(q), to_heads(k), to_heads(v)
+            result = multi_head_attention(
+                q,
+                k,
+                v,
+                scale,
+                use_lsa=self.use_lsa,
+                dropout_rate=self.dropout,
+                deterministic=not train,
+                rng=rng,
+                impl=self.attention_impl,
+                return_probs=return_probs,
+            )
+            out, probs = result if return_probs else (result, None)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, inner_dim)
+            out = out @ wp.astype(out.dtype) + bp.astype(out.dtype)
+
         out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
         if return_probs:
             return out, probs
