@@ -1,5 +1,15 @@
 """Headline benchmark: V1T forward+backward images/sec/chip on TPU.
 
+Modes:
+  python bench.py            headline jitted train-step throughput (driver)
+  python bench.py epoch      end-to-end epoch throughput: 7-mouse cycle with
+                             the real input pipeline (packed-array cache,
+                             prefetch threads), cross-mouse gradient
+                             accumulation and optimizer updates — catches
+                             host/pipeline regressions the headline can't
+                             (reference loop: /root/reference/train.py:84-116)
+
+
 Runs the flagship configuration (emb 155, 4 blocks, 4 heads, mlp 488,
 patch 8 / stride 1 -> 1654 tokens on a (1, 36, 64) input, Gaussian2d readout
 with ~7k neurons, behavior_mode 3, Poisson loss + regularizers — reference
@@ -122,5 +132,76 @@ def main():
     )
 
 
+def main_epoch():
+    """End-to-end epoch throughput on synthetic 7-mouse data: real loaders
+    (packed cache + prefetch), per-mouse jitted steps, cross-mouse gradient
+    accumulation, optimizer updates, on-device metric accumulation."""
+    import tempfile
+    import time as _time
+
+    from v1t_tpu import training
+    from v1t_tpu.configs import Config
+    from v1t_tpu.data import get_mouse_ids, get_training_ds
+    from v1t_tpu.data.synthetic import generate_dataset
+    from v1t_tpu.models import build_model
+    from v1t_tpu.models.model import init_model_variables
+
+    # S0 has no behavior data (reference data.py:48-68 drops it for
+    # behavior_mode > 0) -> the behavior-conditioned training set is 6 scans
+    batch_size = 64
+    trials = 512
+    mouse_ids = ["S1", "A", "B", "C", "D", "E"]
+    root = os.environ.get("V1T_BENCH_DATA") or tempfile.mkdtemp(prefix="v1t_bench_")
+    data_dir = os.path.join(root, "sensorium")
+    if not os.path.isdir(data_dir):
+        data_dir = generate_dataset(
+            root, ds_name="sensorium", mouse_ids=tuple(mouse_ids),
+            num_train=trials, num_validation=16, num_test_images=4,
+            num_test_repeats=2, num_neurons=7000,
+            image_shape=(1, 144, 256),
+        )
+    config = Config(
+        dataset=data_dir, output_dir=os.path.join(root, "run"),
+        core="vit", readout="gaussian2d", behavior_mode=3, shift_mode=2,
+        batch_size=batch_size, precision="bf16", attention_impl="auto",
+        readout_impl="auto", resize_image=1, core_reg_scale=0.5379,
+        readout_reg_scale=0.0076, lr=0.001647, mouse_ids=mouse_ids,
+    )
+    get_mouse_ids(config)
+    train_ds, _, _, card = get_training_ds(
+        config, data_dir=config.dataset, mouse_ids=config.mouse_ids,
+        batch_size=config.batch_size,
+    )
+    model = build_model(config, card)
+    params, model_state = init_model_variables(model, seed=0)
+    trainer = training.Trainer(
+        config, model, params, card, model_state=model_state
+    )
+
+    images_per_epoch = sum(len(l.dataset) for l in train_ds.values())
+    training.train_epoch(trainer, ds=train_ds, epoch=1)  # compile + warm
+    t0 = _time.perf_counter()
+    training.train_epoch(trainer, ds=train_ds, epoch=2)
+    jax.block_until_ready(trainer.params)
+    dt = _time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "v1t_epoch_images_per_sec_per_chip",
+                "value": round(images_per_epoch / dt, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    images_per_epoch / dt / A100_REFERENCE_IMAGES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == "epoch":
+        main_epoch()
+    else:
+        main()

@@ -275,6 +275,23 @@ def add_model_args(parser: argparse.ArgumentParser):
         parser.add_argument("--lr", type=float, default=0.009)
         parser.add_argument("--core_lr", type=float, default=None)
         parser.add_argument("--core_reg_scale", type=float, default=0.0)
+        # architecture variants (reference stacked2d.py:315-601 kwargs)
+        parser.add_argument("--stacked2d_conv_type", type=str, default="ds",
+                            choices=["ds", "attention", "conv"])
+        parser.add_argument("--stacked2d_skip", type=int, default=0)
+        parser.add_argument("--stacked2d_stack", type=int, default=-1)
+        parser.add_argument("--stacked2d_pad_input", type=int, default=0,
+                            choices=[0, 1])
+        parser.add_argument("--stacked2d_batch_norm", type=int, default=1,
+                            choices=[0, 1])
+        parser.add_argument("--stacked2d_independent_bn_bias", type=int,
+                            default=1, choices=[0, 1])
+        parser.add_argument("--stacked2d_batch_norm_scale", type=int,
+                            default=1, choices=[0, 1])
+        parser.add_argument("--stacked2d_final_batchnorm_scale", type=int,
+                            default=1, choices=[0, 1])
+        parser.add_argument("--stacked2d_final_nonlinearity", type=int,
+                            default=1, choices=[0, 1])
     elif temp_args.core == "stn":
         parser.add_argument("--num_layers", type=int, default=7)
         parser.add_argument("--num_filters", type=int, default=63)

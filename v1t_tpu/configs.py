@@ -90,6 +90,17 @@ class Config:
     core_reg_input: float = 6.3831
     core_reg_hidden: float = 0.0
     linear: bool = False
+    # stacked2d architecture variants (reference stacked2d.py:315-601
+    # __init__ kwargs; reference defaults)
+    stacked2d_conv_type: str = "ds"  # "ds" | "attention" | "conv"
+    stacked2d_skip: int = 0
+    stacked2d_stack: int = -1
+    stacked2d_pad_input: int = 0
+    stacked2d_batch_norm: int = 1
+    stacked2d_independent_bn_bias: int = 1
+    stacked2d_batch_norm_scale: int = 1
+    stacked2d_final_batchnorm_scale: int = 1
+    stacked2d_final_nonlinearity: int = 1
 
     # readout hyper-parameters (reference train.py:634-650)
     disable_grid_predictor: bool = False
@@ -168,6 +179,13 @@ def save_args(config: Config) -> str:
         payload["hostname"] = os.uname().nodename
     except Exception:
         payload["hostname"] = None
+    # experimental kernel knobs are env vars; record them so a replayed run
+    # can reproduce the exact kernel configuration
+    kernel_env = {
+        k: v for k, v in os.environ.items() if k.startswith("V1T_FLASH_")
+    }
+    if kernel_env:
+        payload["kernel_env"] = kernel_env
     filename = os.path.join(config.output_dir, "args.yaml")
     with open(filename, "w") as file:
         yaml.safe_dump(_yamlify(payload), file, sort_keys=False)
@@ -183,6 +201,10 @@ def load_args(output_dir: str, overrides: t.Optional[dict] = None) -> Config:
     filename = os.path.join(output_dir, "args.yaml")
     with open(filename, "r") as file:
         payload = yaml.safe_load(file)
+    # restore experimental kernel env knobs recorded at save time (the
+    # current environment wins if it sets them explicitly)
+    for key, value in (payload.get("kernel_env") or {}).items():
+        os.environ.setdefault(key, str(value))
     known = {f.name for f in dataclasses.fields(Config)}
     kwargs = {k: v for k, v in payload.items() if k in known}
     if overrides:

@@ -25,7 +25,7 @@ import typing as t
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
