@@ -34,6 +34,24 @@ def main(config: Config, wandb_sweep: bool = False):
 
     import jax
 
+    # platform override (e.g. V1T_PLATFORM=cpu with
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8 for virtual-mesh
+    # runs); needed because a site config may pin jax_platforms before the
+    # JAX_PLATFORMS env var is honored
+    if os.environ.get("V1T_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["V1T_PLATFORM"])
+
+    # multi-host bootstrap BEFORE any device query (SURVEY §5.8); no-op for
+    # the common single-process case
+    if config.num_processes and config.num_processes > 1:
+        from v1t_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=config.coordinator_address,
+            num_processes=config.num_processes,
+            process_id=config.process_id,
+        )
+
     if jax.default_backend() in ("tpu", "axon") and not config.deterministic:
         # hardware RNG for dropout masks (~5% step time vs threefry);
         # --deterministic keeps the counter-based threefry streams
@@ -71,10 +89,28 @@ def main(config: Config, wandb_sweep: bool = False):
         print(f"Model parameters: {num_params:,}")
 
     mesh = None
-    if config.data_parallel != 1:
-        mesh = DataParallel.create(num_devices=config.data_parallel or None)
+    if config.data_parallel != 1 or config.sequence_parallel > 1:
+        mesh = DataParallel.create(
+            num_devices=config.data_parallel or None,
+            sequence_parallel=config.sequence_parallel,
+        )
         if mesh is not None and config.verbose:
-            print(f"Data parallel over {mesh.num_devices} device(s).")
+            print(
+                f"Mesh {dict(zip(mesh.mesh.axis_names, mesh.mesh.devices.shape))}"
+            )
+    if mesh is not None and mesh.seq_axis:
+        from v1t_tpu.parallel.context import set_sequence_mesh
+
+        set_sequence_mesh(
+            mesh.mesh, axis="seq", impl=config.sequence_parallel_impl,
+            batch_axis="data",
+        )
+    elif config.sequence_parallel > 1:
+        print(
+            f"WARNING: --sequence_parallel {config.sequence_parallel} "
+            f"requested but only {len(jax.devices())} device(s) visible — "
+            "running without token sharding."
+        )
 
     trainer = training.Trainer(
         config, model, params, card, core_frozen=core_frozen, mesh=mesh,
@@ -213,6 +249,17 @@ def add_common_args(parser: argparse.ArgumentParser):
                         choices=["auto", "pallas", "xla"])
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="devices for DP; 0 = all local devices")
+    parser.add_argument("--sequence_parallel", type=int, default=0,
+                        help="shard attention tokens over a 'seq' mesh axis "
+                             "of this size (0/1 = off)")
+    parser.add_argument("--sequence_parallel_impl", type=str,
+                        default="allgather", choices=["allgather", "ring"])
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 for multi-host runs")
+    parser.add_argument("--num_processes", type=int, default=0,
+                        help="total processes in a multi-host run (0/1 = "
+                             "single process)")
+    parser.add_argument("--process_id", type=int, default=0)
     parser.add_argument("--grad_checkpointing", type=int, default=None,
                         choices=[0, 1])
     parser.add_argument("--deterministic", action="store_true")

@@ -125,6 +125,15 @@ class Config:
 
     # parallelism (new, TPU-native; reference has none — SURVEY.md §2.12)
     data_parallel: int = 0  # 0 -> use all local devices
+    # context parallelism (SURVEY.md §5.7): shard attention tokens over a
+    # "seq" mesh axis of this size (0/1 = off); enables full-resolution
+    # (144x256 -> 34k-token) training across chips
+    sequence_parallel: int = 0
+    sequence_parallel_impl: str = "allgather"  # "allgather" | "ring"
+    # multi-host bootstrap (jax.distributed over DCN; parallel/multihost.py)
+    coordinator_address: t.Optional[str] = None
+    num_processes: int = 0  # 0/1 = single process
+    process_id: int = 0
 
     # misc (reference train.py:465-493)
     save_plots: bool = False

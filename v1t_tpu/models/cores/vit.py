@@ -212,14 +212,59 @@ class Attention(nn.Module):
         if self.dropout > 0.0 and train:
             rng = self.make_rng("dropout")
 
+        from v1t_tpu.parallel.context import sequence_mesh
+
+        seq_ctx = sequence_mesh()
         dt = self.dtype
         use_fused = (
-            not return_probs
+            seq_ctx is None
+            and not return_probs
             and self.attention_impl in ("auto", "pallas")
             and dt == jnp.bfloat16
             and jax.default_backend() == "tpu"
         )
-        if use_fused:
+        if seq_ctx is not None and not return_probs:
+            # context parallelism (SURVEY §5.7): shard tokens over the "seq"
+            # mesh axis; pad N to the shard multiple (padded keys masked via
+            # n_real, padded query rows sliced off)
+            from v1t_tpu.parallel import sequence as seqpar
+
+            mesh_, seq_axis, seq_impl, batch_axis = seq_ctx
+            if dt is not None:
+                x = x.astype(dt)
+            qkv = x @ wqkv.astype(x.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = (
+                jnp.transpose(y.reshape(b, n, heads, e), (0, 2, 1, 3))
+                for y in (q, k, v)
+            )
+            n_shards = mesh_.shape[seq_axis]
+            n_pad = (-n) % n_shards
+            if n_pad:
+                pad = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+                q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+            attn_fn = (
+                seqpar.ring_attention
+                if seq_impl == "ring"
+                else seqpar.allgather_attention
+            )
+            # fold scale into q like the flash path so the per-head
+            # temperature's gradient flows through XLA autodiff
+            scale_v = jnp.asarray(scale, jnp.float32).reshape(-1)
+            scale_v = jnp.broadcast_to(scale_v, (heads,))
+            q = q * scale_v[None, :, None, None].astype(q.dtype)
+            out = attn_fn(
+                q, k, v, scale=1.0, mesh=mesh_, axis=seq_axis,
+                use_lsa=self.use_lsa, n_real=n,
+                batch_axis=batch_axis,
+                dropout_rate=self.dropout if train else 0.0,
+                rng=rng,
+            )
+            out = out[:, :, :n, :]
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, inner_dim)
+            out = out @ wp.astype(out.dtype) + bp.astype(out.dtype)
+            probs = None
+        elif use_fused:
             out = fused_mha(
                 x.astype(dt),
                 wqkv.reshape(e, 3, heads, e).transpose(1, 2, 0, 3).astype(dt),

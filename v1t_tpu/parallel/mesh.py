@@ -35,22 +35,49 @@ class DataParallel:
     def num_devices(self) -> int:
         return self.mesh.devices.size
 
+    @property
+    def data_size(self) -> int:
+        """Size of the batch-sharding axis (the full mesh unless a seq axis
+        carves devices out)."""
+        return self.mesh.shape["data"]
+
     @classmethod
     def create(
         cls,
         num_devices: t.Optional[int] = None,
         devices: t.Optional[t.Sequence[jax.Device]] = None,
+        sequence_parallel: int = 0,
     ) -> t.Optional["DataParallel"]:
         """Build the mesh; returns None when only one device is in play
-        (plain single-device jit is then used)."""
+        (plain single-device jit is then used).
+
+        ``sequence_parallel`` > 1 carves a "seq" axis out of the devices:
+        the mesh becomes ("data", "seq") of shape
+        (num_devices // sequence_parallel, sequence_parallel) — attention
+        tokens shard over "seq" (v1t_tpu/parallel/sequence.py) while the
+        batch shards over "data"."""
         if devices is None:
             devices = jax.devices()
         if num_devices:
             devices = devices[:num_devices]
         if len(devices) <= 1:
             return None
-        mesh = Mesh(np.asarray(devices), axis_names=("data",))
+        if sequence_parallel and sequence_parallel > 1:
+            assert len(devices) % sequence_parallel == 0, (
+                f"{len(devices)} devices not divisible by "
+                f"sequence_parallel={sequence_parallel}"
+            )
+            grid = np.asarray(devices).reshape(
+                len(devices) // sequence_parallel, sequence_parallel
+            )
+            mesh = Mesh(grid, axis_names=("data", "seq"))
+        else:
+            mesh = Mesh(np.asarray(devices), axis_names=("data",))
         return cls(mesh)
+
+    @property
+    def seq_axis(self) -> t.Optional[str]:
+        return "seq" if "seq" in self.mesh.axis_names else None
 
     def replicate(self, tree):
         return jax.device_put(tree, self.replicated)
@@ -59,11 +86,17 @@ class DataParallel:
         return NamedSharding(self.mesh, P("data", *([None] * (ndim - 1))))
 
     def shard_batch(self, arrays: t.Dict[str, np.ndarray]) -> dict:
+        if jax.process_count() > 1:
+            # multi-host: each process passes its HOST-LOCAL rows; stitch
+            # them into globally-sharded arrays (parallel/multihost.py)
+            from v1t_tpu.parallel.multihost import host_local_batch_to_global
+
+            return host_local_batch_to_global(self.mesh, arrays)
         out = {}
         for k, v in arrays.items():
-            assert v.shape[0] % self.num_devices == 0, (
-                f"batch dim {v.shape[0]} not divisible by mesh size "
-                f"{self.num_devices} for {k!r}"
+            assert v.shape[0] % self.data_size == 0, (
+                f"batch dim {v.shape[0]} not divisible by data-axis size "
+                f"{self.data_size} for {k!r}"
             )
             out[k] = jax.device_put(v, self._batch_sharding(v.ndim))
         return out

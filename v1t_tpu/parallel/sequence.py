@@ -30,19 +30,32 @@ from jax import shard_map
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _local_attention(q, k, v, scale, use_lsa, q_offset, k_offset):
+def _local_attention(q, k, v, scale, use_lsa, q_offset, k_offset,
+                     n_real=None, dropout_rate=0.0, dropout_key=None):
     """Plain attention on local q against a block of k/v, returning the
     un-normalized accumulator plus softmax statistics (m, l) so partial
-    results can be combined exactly."""
+    results can be combined exactly. ``n_real`` masks keys past the true
+    sequence length (token padding to the shard-count multiple).
+
+    Attention-probability dropout matches the flash kernel's semantics:
+    ``l`` is computed from the UNdropped probabilities (so the softmax
+    normalization is exact) and the dropped/rescaled probabilities feed the
+    value accumulation only."""
     s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     s = s * scale
-    if use_lsa:
+    if use_lsa or n_real is not None:
         rows = jax.lax.broadcasted_iota(jnp.int32, s.shape[-2:], 0) + q_offset
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape[-2:], 1) + k_offset
-        s = jnp.where(rows == cols, MASK_VALUE, s)
+        if n_real is not None:
+            s = jnp.where(cols >= n_real, MASK_VALUE, s)
+        if use_lsa:
+            s = jnp.where(rows == cols, MASK_VALUE, s)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0 and dropout_key is not None:
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     acc = jnp.einsum(
         "bhnm,bhmd->bhnd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -68,26 +81,41 @@ def allgather_attention(
     mesh: Mesh,
     axis: str = "seq",
     use_lsa: bool = False,
+    n_real: t.Optional[int] = None,
+    batch_axis: t.Optional[str] = None,
+    dropout_rate: float = 0.0,
+    rng: t.Optional[jax.Array] = None,
 ):
     """Sequence-sharded attention: all-gather K/V, attend locally.
-    q, k, v: (B, H, N, D) sharded on the N axis over ``axis``."""
+    q, k, v: (B, H, N, D) sharded on the N axis over ``axis`` (and
+    optionally on the batch axis over ``batch_axis`` for DP x SP meshes);
+    ``n_real`` masks token padding."""
     n_shards = mesh.shape[axis]
     n_local = q.shape[2] // n_shards
 
     def body(q_s, k_s, v_s):
         idx = jax.lax.axis_index(axis)
+        key = None
+        if rng is not None and dropout_rate > 0.0:
+            key = jax.random.fold_in(rng, idx)
+            if batch_axis is not None:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(batch_axis)
+                )
         k_full = jax.lax.all_gather(k_s, axis, axis=2, tiled=True)
         v_full = jax.lax.all_gather(v_s, axis, axis=2, tiled=True)
         acc, m, l = _local_attention(
             q_s, k_full, v_full, scale, use_lsa,
-            q_offset=idx * n_local, k_offset=0,
+            q_offset=idx * n_local, k_offset=0, n_real=n_real,
+            dropout_rate=dropout_rate, dropout_key=key,
         )
+        l = jnp.where(l == 0.0, 1.0, l)
         return (acc / l).astype(q_s.dtype)
 
-    spec = P(None, None, axis, None)
+    spec = P(batch_axis, None, axis, None)
     return shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )(q, k, v)
 
 
@@ -99,6 +127,10 @@ def ring_attention(
     mesh: Mesh,
     axis: str = "seq",
     use_lsa: bool = False,
+    n_real: t.Optional[int] = None,
+    batch_axis: t.Optional[str] = None,
+    dropout_rate: float = 0.0,
+    rng: t.Optional[jax.Array] = None,
 ):
     """Ring attention: K/V blocks rotate around the ring via ppermute while
     each shard attends its local queries; partial softmax statistics combine
@@ -113,9 +145,18 @@ def ring_attention(
         def step(carry, step_idx):
             acc, m, l, k_blk, v_blk = carry
             src = (idx - step_idx) % n_shards  # who this block came from
+            key = None
+            if rng is not None and dropout_rate > 0.0:
+                # deterministic per (query shard, key block) pair
+                key = jax.random.fold_in(rng, idx * n_shards + src)
+                if batch_axis is not None:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(batch_axis)
+                    )
             blk_acc, blk_m, blk_l = _local_attention(
                 q_s, k_blk, v_blk, scale, use_lsa,
                 q_offset=idx * n_local, k_offset=src * n_local,
+                n_real=n_real, dropout_rate=dropout_rate, dropout_key=key,
             )
             acc, m, l = _combine(acc, m, l, blk_acc, blk_m, blk_l)
             k_blk = jax.lax.ppermute(k_blk, axis, perm)
@@ -133,10 +174,12 @@ def ring_attention(
         (acc, m, l, _, _), _ = jax.lax.scan(
             step, init, jnp.arange(n_shards)
         )
+        # fully-masked rows (token padding) have l == 0
+        l = jnp.where(l == 0.0, 1.0, l)
         return (acc / l).astype(q_s.dtype)
 
-    spec = P(None, None, axis, None)
+    spec = P(batch_axis, None, axis, None)
     return shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )(q, k, v)

@@ -104,10 +104,10 @@ class Trainer:
         self._apply = jax.jit(self._apply_update, donate_argnums=(0, 1))
 
         if self.mesh is not None:
-            assert config.effective_micro_batch_size % self.mesh.num_devices == 0, (
+            assert config.effective_micro_batch_size % self.mesh.data_size == 0, (
                 f"micro batch size {config.effective_micro_batch_size} must be "
                 f"divisible by the data-parallel mesh size "
-                f"{self.mesh.num_devices}"
+                f"{self.mesh.data_size}"
             )
             self.params = self.mesh.replicate(self.params)
             self.opt_state = self.mesh.replicate(self.opt_state)
