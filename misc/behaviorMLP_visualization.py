@@ -2,7 +2,16 @@
 misc/behaviorMLP_visualization.py (which forward-hooks the BehaviorMLPs);
 here the latents are recomputed directly from the parameters."""
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 
 import argparse
 import os

@@ -5,7 +5,16 @@ of tiny file reads would starve a TPU slice).
     python misc/bench_input_pipeline.py --dataset <dir> --mouse_id A
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 
 import argparse
 import time

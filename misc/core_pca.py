@@ -2,7 +2,16 @@
 misc/core_pca.py: run the core over the test set, PCA the flattened feature
 maps, and correlate the leading components with the behavior variables."""
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 
 import argparse
 import os

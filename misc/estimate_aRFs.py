@@ -7,7 +7,16 @@ per neuron -> 2D Gaussian curve_fit per neuron, dropping the worst 5% sigma
 fits.
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 
 import argparse
 import os

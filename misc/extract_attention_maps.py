@@ -2,7 +2,16 @@
 and pickle the results — rebuild of reference misc/extract_attention_maps.py.
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 
 import argparse
 import os

@@ -2,7 +2,16 @@
 misc/prediction_v_dilation.py:24-60: compute single-trial correlation within
 the top- and bottom-third pupil-dilation trials of each mouse's test set."""
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 
 import argparse
 import pickle
