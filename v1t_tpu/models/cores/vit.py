@@ -35,6 +35,7 @@ from flax import linen as nn
 from v1t_tpu.models.registry import register_core
 from v1t_tpu.ops.attention import multi_head_attention
 from v1t_tpu.ops.fused_mha import fused_mha
+from v1t_tpu.ops.fused_mlp import fused_mlp
 from v1t_tpu.ops.common import drop_path, find_shape, unfold_output_size, unfold_patches
 
 Dtype = t.Any
@@ -320,13 +321,44 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.LayerNorm(name="layer_norm")(inputs)
-        x = _dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
+        in_dim = inputs.shape[-1]
+        gamma = self.param("ln_scale", nn.initializers.ones, (in_dim,))
+        beta = self.param("ln_bias", nn.initializers.zeros, (in_dim,))
+        w1 = self.param("fc1_kernel", trunc_normal_init, (in_dim, self.hidden_dim))
+        w2 = self.param("fc2_kernel", trunc_normal_init, (self.hidden_dim, self.out_dim))
+        zeros = nn.initializers.zeros
+        b1 = (
+            self.param("fc1_bias", zeros, (self.hidden_dim,))
+            if self.use_bias else jnp.zeros((self.hidden_dim,), jnp.float32)
+        )
+        b2 = (
+            self.param("fc2_bias", zeros, (self.out_dim,))
+            if self.use_bias else jnp.zeros((self.out_dim,), jnp.float32)
+        )
+
+        dt = self.dtype
+        use_fused = dt == jnp.bfloat16 and jax.default_backend() == "tpu"
+        rng = None
+        if self.dropout > 0.0 and train:
+            rng = self.make_rng("dropout")
+        if use_fused:
+            return fused_mlp(
+                inputs.astype(dt), gamma, beta, w1, b1, w2, b2,
+                dropout_rate=self.dropout, deterministic=not train, rng=rng,
+            )
+        # composed path (fp32 / CPU): identical math through XLA
+        mean = jnp.mean(inputs.astype(jnp.float32), axis=-1, keepdims=True)
+        var = jnp.var(inputs.astype(jnp.float32), axis=-1, keepdims=True)
+        x = (inputs.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-6)
+        x = x * gamma + beta
+        if dt is not None:
+            x = x.astype(dt)
+        x = x @ w1.astype(x.dtype) + b1.astype(x.dtype)
         # torch nn.GELU default is the exact erf formulation
         x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
-        x = _dense(self.out_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
-        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        x = nn.Dropout(rate=self.dropout, deterministic=not train, rng_collection="dropout")(x)
+        x = x @ w2.astype(x.dtype) + b2.astype(x.dtype)
+        x = nn.Dropout(rate=self.dropout, deterministic=not train, rng_collection="dropout")(x)
         return x
 
 
