@@ -3,9 +3,9 @@
 assertion for the model's "auto" attention_impl.
 
 Shipped numbers (v5e, V1T shape B=64, N=1654, E=155, H=4, dropout 0.2544):
-fwd 8.1 ms + bwd 16.1 ms per layer, replacing 6.1 + 13.3 ms of split-kernel
-time PLUS ~18 ms/layer of XLA reshapes/pads/concats/projections. Full V1T
-train step 199 -> ~138 ms (465 images/s/chip).
+the kernel replaced 6.1 + 13.3 ms/layer of split-kernel time PLUS
+~18 ms/layer of XLA reshapes/pads/concats/projections; with LayerNorm
+folded in, the full V1T train step is ~124 ms (516 images/s/chip).
 """
 
 import functools
@@ -28,6 +28,8 @@ def _params(b=3, n=300, e=32, h=4, seed=0):
     rng = np.random.default_rng(seed)
     return (
         jnp.asarray(rng.normal(size=(b, n, e)) * 0.5, jnp.bfloat16),
+        jnp.asarray(1 + 0.1 * rng.normal(size=e), jnp.float32),   # gamma
+        jnp.asarray(0.1 * rng.normal(size=e), jnp.float32),       # beta
         jnp.asarray(rng.normal(size=(3, h, e, e)) * 0.08, jnp.bfloat16),
         jnp.asarray(rng.normal(size=(h, e, e)) * 0.08, jnp.bfloat16),
         jnp.asarray(rng.normal(size=(e,)) * 0.1, jnp.bfloat16),
@@ -37,50 +39,51 @@ def _params(b=3, n=300, e=32, h=4, seed=0):
     )
 
 
-def _composed(x, wqkv, wp, bp, scale, use_lsa):
-    """Reference: projections in XLA + the materializing attention path."""
-    q = jnp.einsum("bne,hed->bhnd", x, wqkv[0])
-    k = jnp.einsum("bne,hed->bhnd", x, wqkv[1])
-    v = jnp.einsum("bne,hed->bhnd", x, wqkv[2])
+def _composed(x, gamma, beta, wqkv, wp, bp, scale, use_lsa):
+    """Reference: LN + projections in XLA + the materializing attention."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    x = (x32 - mean) * jax.lax.rsqrt(var + 1e-6) * gamma + beta
+    q = jnp.einsum("bne,hed->bhnd", x, wqkv[0].astype(jnp.float32))
+    k = jnp.einsum("bne,hed->bhnd", x, wqkv[1].astype(jnp.float32))
+    v = jnp.einsum("bne,hed->bhnd", x, wqkv[2].astype(jnp.float32))
     o = multi_head_attention(
         q, k, v, scale, use_lsa=use_lsa, deterministic=True, impl="xla"
     )
-    return jnp.einsum("bhnd,hde->bne", o, wp) + bp
+    return jnp.einsum("bhnd,hde->bne", o, wp.astype(jnp.float32)) + bp.astype(
+        jnp.float32
+    )
 
 
 @pytest.mark.parametrize("use_lsa", [False, True])
 def test_forward_parity(use_lsa):
-    x, wqkv, wp, bp, scale = _params()
-    ref = _composed(
-        x.astype(jnp.float32), wqkv.astype(jnp.float32),
-        wp.astype(jnp.float32), bp.astype(jnp.float32), scale, use_lsa,
-    )
-    out = fused_mha(x, wqkv, wp, bp, scale, use_lsa=use_lsa, deterministic=True)
+    args = _params()
+    ref = _composed(*args, use_lsa)
+    out = fused_mha(*args, use_lsa=use_lsa, deterministic=True)
     assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) < 5e-3
     assert np.isfinite(np.asarray(out, jnp.float32)).all()
 
 
 def test_gradient_parity():
-    x, wqkv, wp, bp, scale = _params()
+    args = _params()
 
-    def loss(fn, *args):
-        return jnp.sum(fn(*args).astype(jnp.float32) ** 2)
+    def loss(fn, *a):
+        return jnp.sum(fn(*a).astype(jnp.float32) ** 2)
 
     g_fused = jax.grad(
         lambda *a: loss(
             functools.partial(fused_mha, use_lsa=True, deterministic=True), *a
         ),
-        argnums=(0, 1, 2, 3, 4),
-    )(x, wqkv, wp, bp, scale)
+        argnums=tuple(range(7)),
+    )(*args)
     g_ref = jax.grad(
         lambda *a: loss(functools.partial(_composed, use_lsa=True), *a),
-        argnums=(0, 1, 2, 3, 4),
-    )(
-        x.astype(jnp.float32), wqkv.astype(jnp.float32),
-        wp.astype(jnp.float32), bp.astype(jnp.float32), scale,
-    )
+        argnums=tuple(range(7)),
+    )(*args)
     for name, a, b in zip(
-        ("dx", "dwqkv", "dwp", "dbp", "dscale"), g_fused, g_ref
+        ("dx", "dgamma", "dbeta", "dwqkv", "dwp", "dbp", "dscale"),
+        g_fused, g_ref,
     ):
         rel = float(
             jnp.max(jnp.abs(a.astype(jnp.float32) - b))
@@ -90,10 +93,10 @@ def test_gradient_parity():
 
 
 def test_dropout_statistics_and_determinism():
-    x, wqkv, wp, bp, scale = _params()
+    args = _params()
     key = jax.random.key(7)
     run = lambda k: fused_mha(
-        x, wqkv, wp, bp, scale, use_lsa=True, dropout_rate=0.5,
+        *args, use_lsa=True, dropout_rate=0.5,
         deterministic=False, rng=k,
     )
     a = run(key)

@@ -186,10 +186,11 @@ class Attention(nn.Module):
         e, heads = self.emb_dim, self.num_heads
         inner_dim = e * heads
 
-        x = nn.LayerNorm(name="layer_norm")(inputs)
-        # raw projection weights (trunc_normal(0.02) / zero bias like the
-        # reference init, vit.py:338-346) so the fused kernel and the
-        # composed paths share one parameter tree
+        # raw LayerNorm + projection weights (trunc_normal(0.02) / zero bias
+        # like the reference init, vit.py:338-346) so the fused kernel and
+        # the composed paths share one parameter tree
+        gamma = self.param("ln_scale", nn.initializers.ones, (e,))
+        ln_beta = self.param("ln_bias", nn.initializers.zeros, (e,))
         wqkv = self.param("to_qkv_kernel", trunc_normal_init, (e, 3 * inner_dim))
         wp = self.param("projection_kernel", trunc_normal_init, (inner_dim, e))
         bp = (
@@ -224,6 +225,12 @@ class Attention(nn.Module):
             and dt == jnp.bfloat16
             and jax.default_backend() == "tpu"
         )
+        if not use_fused:
+            # composed paths normalize here; the fused kernel does it inside
+            x32 = inputs.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            x = (x32 - mean) * jax.lax.rsqrt(var + 1e-6) * gamma + ln_beta
         if seq_ctx is not None and not return_probs:
             # context parallelism (SURVEY §5.7): shard tokens over the "seq"
             # mesh axis; pad N to the shard multiple (padded keys masked via
@@ -267,7 +274,9 @@ class Attention(nn.Module):
             probs = None
         elif use_fused:
             out = fused_mha(
-                x.astype(dt),
+                inputs.astype(dt),
+                gamma,
+                ln_beta,
                 wqkv.reshape(e, 3, heads, e).transpose(1, 2, 0, 3).astype(dt),
                 wp.reshape(heads, e, e).astype(dt),
                 bp.astype(dt),

@@ -54,33 +54,47 @@ BLOCK_Q = 256
 BLOCK_K = 896
 
 
+def _layernorm(x32, gamma, beta, eps=1e-6):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mean) * inv
+    return xhat * gamma + beta, xhat, inv
+
+
 def _mha_fwd_kernel(
     seed_ref,
-    x_ref, wqkv_ref, wp_ref, bp_ref, scale_ref,
+    x_ref, g_ref, beta_ref, wqkv_ref, wp_ref, bp_ref, scale_ref,
     out_ref, oh_ref, lse_ref,
-    kv_scr, acc_scr,
+    kv_scr, acc_scr, ln_scr,
     *, n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
     use_lsa: bool, dropout_rate: float, deterministic: bool,
 ):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    x = x_ref[0]  # (Npad, E)
     block_q = oh_ref.shape[2]
+
+    @pl.when(jnp.logical_and(h == 0, qi == 0))
+    def _compute_ln():
+        ln, _, _ = _layernorm(
+            x_ref[0].astype(jnp.float32), g_ref[0], beta_ref[0]
+        )
+        ln_scr[...] = ln.astype(ln_scr.dtype)
 
     @pl.when(qi == 0)
     def _compute_kv():
         kv_scr[0] = jax.lax.dot(
-            x, wqkv_ref[1, h], preferred_element_type=jnp.float32
+            ln_scr[...], wqkv_ref[1, h], preferred_element_type=jnp.float32
         ).astype(kv_scr.dtype)
         kv_scr[1] = jax.lax.dot(
-            x, wqkv_ref[2, h], preferred_element_type=jnp.float32
+            ln_scr[...], wqkv_ref[2, h], preferred_element_type=jnp.float32
         ).astype(kv_scr.dtype)
 
     scale = scale_ref[0, h]
     q = jax.lax.dot(
-        x_ref[0, pl.ds(qi * block_q, block_q), :], wqkv_ref[0, h],
+        ln_scr[pl.ds(qi * block_q, block_q), :], wqkv_ref[0, h],
         preferred_element_type=jnp.float32,
     ) * scale
-    q = q.astype(x.dtype)
+    q = q.astype(ln_scr.dtype)
 
     bh = b * num_heads + h
     m = jnp.full((block_q, 1), MASK_VALUE, jnp.float32)
@@ -135,39 +149,45 @@ def _mha_fwd_kernel(
 
 def _mha_bwd_kernel(
     seed_ref,
-    x_ref, wqkv_ref, wp_ref, scale_ref, dout_ref, oh_ref, lse_ref,
-    dx_ref, dwq_ref, dwk_ref, dwv_ref, dwp_ref, dscale_ref,
-    kv_scr, dkv_scr, dx_scr, dwq_scr, dwk_scr, dwv_scr, dwp_scr, dscale_scr,
+    x_ref, g_ref, beta_ref, wqkv_ref, wp_ref, scale_ref, dout_ref,
+    oh_ref, lse_ref,
+    dx_ref, dg_ref, dbeta_ref, dwq_ref, dwk_ref, dwv_ref, dwp_ref,
+    dscale_ref,
+    kv_scr, dkv_scr, dx_scr, ln_scr, dwq_scr, dwk_scr, dwv_scr, dwp_scr,
+    dscale_scr,
     *, n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
     use_lsa: bool, dropout_rate: float, deterministic: bool,
 ):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    x = x_ref[0]  # (Npad, E)
     block_q = dout_ref.shape[1]
+
+    @pl.when(jnp.logical_and(h == 0, qi == 0))
+    def _init_per_batch():
+        ln, _, _ = _layernorm(
+            x_ref[0].astype(jnp.float32), g_ref[0], beta_ref[0]
+        )
+        ln_scr[...] = ln.astype(ln_scr.dtype)
+        dx_scr[...] = jnp.zeros_like(dx_scr)
 
     @pl.when(qi == 0)
     def _init_per_head():
         kv_scr[0] = jax.lax.dot(
-            x, wqkv_ref[1, h], preferred_element_type=jnp.float32
+            ln_scr[...], wqkv_ref[1, h], preferred_element_type=jnp.float32
         ).astype(kv_scr.dtype)
         kv_scr[1] = jax.lax.dot(
-            x, wqkv_ref[2, h], preferred_element_type=jnp.float32
+            ln_scr[...], wqkv_ref[2, h], preferred_element_type=jnp.float32
         ).astype(kv_scr.dtype)
         dkv_scr[...] = jnp.zeros_like(dkv_scr)
         dwq_scr[...] = jnp.zeros_like(dwq_scr)
         dwp_scr[...] = jnp.zeros_like(dwp_scr)
         dscale_scr[0] = 0.0
 
-    @pl.when(jnp.logical_and(h == 0, qi == 0))
-    def _init_dx():
-        dx_scr[...] = jnp.zeros_like(dx_scr)
-
     scale = scale_ref[0, h]
     row = pl.ds(qi * block_q, block_q)
     qraw = jax.lax.dot(
-        x_ref[0, row, :], wqkv_ref[0, h], preferred_element_type=jnp.float32
+        ln_scr[row, :], wqkv_ref[0, h], preferred_element_type=jnp.float32
     )
-    q = (qraw * scale).astype(x.dtype)
+    q = (qraw * scale).astype(ln_scr.dtype)
 
     dout = dout_ref[0]  # (block_q, E) bf16
     # do_h = dout @ Wp_h^T
@@ -221,8 +241,8 @@ def _mha_bwd_kernel(
     # scale/projection backward for this q-block
     dqraw = dq * scale
     dscale_scr[0] += jnp.sum(qraw * dq)
-    xq = x_ref[0, row, :]
-    dqraw_lp = dqraw.astype(x.dtype)
+    xq = ln_scr[row, :]
+    dqraw_lp = dqraw.astype(ln_scr.dtype)
     dx_scr[row, :] += jax.lax.dot_general(
         dqraw_lp, wqkv_ref[0, h], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -238,8 +258,8 @@ def _mha_bwd_kernel(
 
     @pl.when(qi == nq - 1)
     def _finish_head():
-        dk = dkv_scr[0].astype(x.dtype)
-        dv = dkv_scr[1].astype(x.dtype)
+        dk = dkv_scr[0].astype(ln_scr.dtype)
+        dv = dkv_scr[1].astype(ln_scr.dtype)
         dx_scr[...] += jax.lax.dot_general(
             dk, wqkv_ref[1, h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -249,11 +269,11 @@ def _mha_bwd_kernel(
             preferred_element_type=jnp.float32,
         )
         dwk_scr[...] = jax.lax.dot_general(
-            x, dk, (((0,), (0,)), ((), ())),
+            ln_scr[...], dk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dwv_scr[...] = jax.lax.dot_general(
-            x, dv, (((0,), (0,)), ((), ())),
+            ln_scr[...], dv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dwq_ref[0, 0] = dwq_scr[...]
@@ -264,7 +284,22 @@ def _mha_bwd_kernel(
 
     @pl.when(jnp.logical_and(h == num_heads - 1, qi == nq - 1))
     def _write_dx():
-        dx_ref[0] = dx_scr[...].astype(dx_ref.dtype)
+        # dx_scr holds d(ln); apply the LayerNorm backward over the full
+        # batch row-band and emit dgamma/dbeta partials
+        gamma = g_ref[0]
+        _, xhat, inv = _layernorm(
+            x_ref[0].astype(jnp.float32), gamma, beta_ref[0]
+        )
+        dln = dx_scr[...]
+        dg_ref[0] = jnp.sum(dln * xhat, axis=0, keepdims=True)
+        dbeta_ref[0] = jnp.sum(dln, axis=0, keepdims=True)
+        dxhat = dln * gamma
+        dx = inv * (
+            dxhat
+            - jnp.mean(dxhat, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        )
+        dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 def _pack_static(n_real, num_heads, nq, nk, block_k, use_lsa, dropout_rate,
@@ -276,7 +311,7 @@ def _pack_static(n_real, num_heads, nq, nk, block_k, use_lsa, dropout_rate,
     )
 
 
-def _mha_forward(x_pad, wqkv, wp, bp, scale, seed, *, cfg):
+def _mha_forward(x_pad, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
     b, npad, e = x_pad.shape
     d = wqkv.shape[-1]
     h = cfg["num_heads"]
@@ -289,6 +324,8 @@ def _mha_forward(x_pad, wqkv, wp, bp, scale, seed, *, cfg):
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, npad, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, e), lambda bi, hi, qi, *_: (0, 0)),  # gamma
+                pl.BlockSpec((1, e), lambda bi, hi, qi, *_: (0, 0)),  # beta
                 pl.BlockSpec((3, h, e, d), lambda bi, hi, qi, *_: (0, 0, 0, 0)),
                 pl.BlockSpec((h, d, e), lambda bi, hi, qi, *_: (0, 0, 0)),
                 pl.BlockSpec((1, e), lambda bi, hi, qi, *_: (0, 0)),
@@ -306,6 +343,7 @@ def _mha_forward(x_pad, wqkv, wp, bp, scale, seed, *, cfg):
             scratch_shapes=[
                 pltpu.VMEM((2, npad, d), x_pad.dtype),
                 pltpu.VMEM((npad, e), jnp.float32),
+                pltpu.VMEM((npad, e), x_pad.dtype),   # layernorm(x)
             ],
         ),
         out_shape=[
@@ -316,23 +354,26 @@ def _mha_forward(x_pad, wqkv, wp, bp, scale, seed, *, cfg):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
-    )(seed, x_pad, wqkv, wp, bp, scale)
+    )(seed, x_pad, gamma, beta, wqkv, wp, bp, scale)
     return out, oh, lse
 
 
-def _mha_backward(x_pad, wqkv, wp, scale, seed, oh, lse, dout, *, cfg):
+def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
+                  *, cfg):
     b, npad, e = x_pad.shape
     d = wqkv.shape[-1]
     h = cfg["num_heads"]
     nq = cfg["nq"]
     grid = (b, h, nq)
-    dx, dwq, dwk, dwv, dwp, dscale = pl.pallas_call(
+    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale = pl.pallas_call(
         functools.partial(_mha_bwd_kernel, **cfg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, npad, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, e), lambda bi, hi, qi, *_: (0, 0)),  # gamma
+                pl.BlockSpec((1, e), lambda bi, hi, qi, *_: (0, 0)),  # beta
                 pl.BlockSpec((3, h, e, d), lambda bi, hi, qi, *_: (0, 0, 0, 0)),
                 pl.BlockSpec((h, d, e), lambda bi, hi, qi, *_: (0, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -346,6 +387,8 @@ def _mha_backward(x_pad, wqkv, wp, scale, seed, oh, lse, dout, *, cfg):
             ],
             out_specs=[
                 pl.BlockSpec((1, npad, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
                 pl.BlockSpec((1, 1, e, d), lambda bi, hi, qi, *_: (bi, hi, 0, 0)),
                 pl.BlockSpec((1, 1, e, d), lambda bi, hi, qi, *_: (bi, hi, 0, 0)),
                 pl.BlockSpec((1, 1, e, d), lambda bi, hi, qi, *_: (bi, hi, 0, 0)),
@@ -357,7 +400,8 @@ def _mha_backward(x_pad, wqkv, wp, scale, seed, oh, lse, dout, *, cfg):
             scratch_shapes=[
                 pltpu.VMEM((2, npad, d), x_pad.dtype),     # k, v
                 pltpu.VMEM((2, npad, d), jnp.float32),     # dk, dv
-                pltpu.VMEM((npad, e), jnp.float32),        # dx accumulator
+                pltpu.VMEM((npad, e), jnp.float32),        # d(ln) accumulator
+                pltpu.VMEM((npad, e), x_pad.dtype),        # layernorm(x)
                 pltpu.VMEM((e, d), jnp.float32),           # dwq
                 pltpu.VMEM((e, d), jnp.float32),           # dwk
                 pltpu.VMEM((e, d), jnp.float32),           # dwv
@@ -367,6 +411,8 @@ def _mha_backward(x_pad, wqkv, wp, scale, seed, oh, lse, dout, *, cfg):
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, npad, e), x_pad.dtype),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
             jax.ShapeDtypeStruct((b, h, e, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, e, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, e, d), jnp.float32),
@@ -375,32 +421,36 @@ def _mha_backward(x_pad, wqkv, wp, scale, seed, oh, lse, dout, *, cfg):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            # the dk/dv + dx fp32 accumulators put the backward slightly over
-            # the default 16 MB scoped-vmem budget; v5e has headroom
+            # the dk/dv + d(ln) fp32 accumulators put the backward slightly
+            # over the default 16 MB scoped-vmem budget; v5e has headroom
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(seed, x_pad, wqkv, wp, scale, dout, oh, lse)
-    return dx, dwq, dwk, dwv, dwp, dscale
+    )(seed, x_pad, gamma, beta, wqkv, wp, scale, dout, oh, lse)
+    return dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _mha_core(static_cfg, x_pad, wqkv, wp, bp, scale, seed):
+def _mha_core(static_cfg, x_pad, gamma, beta, wqkv, wp, bp, scale, seed):
     cfg = _pack_static(*static_cfg)
-    out, _, _ = _mha_forward(x_pad, wqkv, wp, bp, scale, seed, cfg=cfg)
+    out, _, _ = _mha_forward(
+        x_pad, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
+    )
     return out
 
 
-def _mha_core_fwd(static_cfg, x_pad, wqkv, wp, bp, scale, seed):
+def _mha_core_fwd(static_cfg, x_pad, gamma, beta, wqkv, wp, bp, scale, seed):
     cfg = _pack_static(*static_cfg)
-    out, oh, lse = _mha_forward(x_pad, wqkv, wp, bp, scale, seed, cfg=cfg)
-    return out, (x_pad, wqkv, wp, scale, seed, oh, lse)
+    out, oh, lse = _mha_forward(
+        x_pad, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
+    )
+    return out, (x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse)
 
 
 def _mha_core_bwd(static_cfg, residuals, dout):
     cfg = _pack_static(*static_cfg)
-    x_pad, wqkv, wp, scale, seed, oh, lse = residuals
-    dx, dwq, dwk, dwv, dwp, dscale = _mha_backward(
-        x_pad, wqkv, wp, scale, seed, oh, lse,
+    x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse = residuals
+    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale = _mha_backward(
+        x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse,
         dout.astype(x_pad.dtype), cfg=cfg,
     )
     dwqkv = jnp.stack(
@@ -412,6 +462,8 @@ def _mha_core_bwd(static_cfg, residuals, dout):
     dscale_total = jnp.sum(dscale[:, :, 0, 0], axis=0)[None]  # (1, H)
     return (
         dx,
+        jnp.sum(dg, axis=0),
+        jnp.sum(dbeta, axis=0),
         dwqkv.astype(x_pad.dtype),
         dwp_total.astype(x_pad.dtype),
         dbp.astype(x_pad.dtype),
@@ -425,6 +477,8 @@ _mha_core.defvjp(_mha_core_fwd, _mha_core_bwd)
 
 def fused_mha(
     x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
     wqkv: jax.Array,
     wp: jax.Array,
     bp: jax.Array,
@@ -435,10 +489,11 @@ def fused_mha(
     deterministic: bool = True,
     rng: t.Optional[jax.Array] = None,
 ) -> jax.Array:
-    """The full attention sublayer as one fused kernel.
+    """The full pre-LN attention sublayer as one fused kernel.
 
     Args:
-        x: (B, N, E) pre-LN activations.
+        x: (B, N, E) residual-stream activations (LayerNorm is IN-kernel).
+        gamma/beta: (E,) LayerNorm affine parameters.
         wqkv: (3, H, E, D) query/key/value projection weights (bias-free,
             reference vit.py:222-224).
         wp: (H, D, E) output projection weights (per-head slices of the
@@ -447,7 +502,7 @@ def fused_mha(
         scale: (H,) per-head scale — learnable under LSA (vit.py:236-239),
             constant emb^-0.5 otherwise.
     Returns:
-        (B, N, E): projection(concat_heads(attention)) + bias.
+        (B, N, E): projection(concat_heads(attention(layernorm(x)))) + bias.
     """
     b, n, e = x.shape
     _, num_heads, _, d = wqkv.shape
@@ -469,6 +524,9 @@ def fused_mha(
         jnp.asarray(scale, jnp.float32).reshape(-1), (num_heads,)
     )
     out = _mha_core(
-        static_cfg, x_pad, wqkv, wp, bp.reshape(1, e), scale[None], seed
+        static_cfg, x_pad,
+        gamma.reshape(1, e).astype(jnp.float32),
+        beta.reshape(1, e).astype(jnp.float32),
+        wqkv, wp, bp.reshape(1, e), scale[None], seed,
     )
     return out[:, :n, :]
