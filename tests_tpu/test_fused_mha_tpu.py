@@ -108,6 +108,45 @@ def test_dropout_statistics_and_determinism():
     assert np.isfinite(np.asarray(a, jnp.float32)).all()
 
 
+def test_pad_once_mode_matches_unpadded():
+    """n_real (pad-once) mode: pre-padded input through the same kernel
+    config must produce identical real rows, exactly-zero pad rows, and
+    identical gradients (pad-row cotangents zero)."""
+    from v1t_tpu.ops.fused_mha import _choose_blocks
+
+    args = _params(b=2, n=300, e=32, h=2, seed=3)
+    x = args[0]
+    n = x.shape[1]
+    npad = _choose_blocks(n)[0]
+    x_pad = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    key = jax.random.key(11)
+
+    kw = dict(use_lsa=True, dropout_rate=0.3, deterministic=False, rng=key)
+    ref = fused_mha(x, *args[1:], **kw)
+    out = fused_mha(x_pad, *args[1:], **kw, n_real=n)
+    assert out.shape == (2, npad, 32)
+    assert jnp.array_equal(out[:, :n, :], ref)
+    assert jnp.array_equal(
+        out[:, n:, :], jnp.zeros_like(out[:, n:, :])
+    ), "pad rows must be exactly zero"
+
+    def loss_pad(x_pad, *rest):
+        o = fused_mha(x_pad, *rest, **kw, n_real=n)
+        return jnp.sum(o[:, :n, :].astype(jnp.float32) ** 2)
+
+    def loss_ref(x, *rest):
+        return jnp.sum(fused_mha(x, *rest, **kw).astype(jnp.float32) ** 2)
+
+    g_pad = jax.grad(loss_pad, argnums=(0, 3, 4))(x_pad, *args[1:])
+    g_ref = jax.grad(loss_ref, argnums=(0, 3, 4))(x, *args[1:])
+    assert jnp.array_equal(g_pad[0][:, :n, :], g_ref[0])
+    assert jnp.array_equal(
+        g_pad[0][:, n:, :], jnp.zeros_like(g_pad[0][:, n:, :])
+    ), "pad-row input gradients must be exactly zero"
+    for a, b in zip(g_pad[1:], g_ref[1:]):
+        assert jnp.array_equal(a, b)
+
+
 def test_model_auto_dispatch_uses_fused_kernel():
     """attention_impl='auto' + bf16 on TPU must lower the vit core through
     the fused kernel (regression guard: a silent fallback would cost ~40%

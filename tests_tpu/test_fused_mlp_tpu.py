@@ -70,6 +70,43 @@ def test_gradient_parity():
         assert rel < 1e-2, (name, rel)
 
 
+def test_pad_once_mode_matches_unpadded():
+    """n_real (pad-once) mode: identical real rows, exactly-zero pad rows,
+    identical gradients with zero pad-row cotangents."""
+    from v1t_tpu.ops.fused_mlp import _choose_rows
+
+    args = _params(seed=5)
+    x = args[0]
+    n = x.shape[1]
+    npad = _choose_rows(n)
+    x_pad = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    kw = dict(dropout_rate=0.3, deterministic=False, rng=jax.random.key(4))
+
+    ref = fused_mlp(x, *args[1:], **kw)
+    out = fused_mlp(x_pad, *args[1:], **kw, n_real=n)
+    assert out.shape == (x.shape[0], npad, x.shape[2])
+    assert jnp.array_equal(out[:, :n, :], ref)
+    assert jnp.array_equal(out[:, n:, :], jnp.zeros_like(out[:, n:, :]))
+
+    def loss_pad(x_pad, w1, w2):
+        o = fused_mlp(x_pad, args[1], args[2], w1, args[4], w2, args[6],
+                      **kw, n_real=n)
+        return jnp.sum(o[:, :n, :].astype(jnp.float32) ** 2)
+
+    def loss_ref(x, w1, w2):
+        o = fused_mlp(x, args[1], args[2], w1, args[4], w2, args[6], **kw)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_pad = jax.grad(loss_pad, argnums=(0, 1, 2))(x_pad, args[3], args[5])
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, args[3], args[5])
+    assert jnp.array_equal(g_pad[0][:, :n, :], g_ref[0])
+    assert jnp.array_equal(
+        g_pad[0][:, n:, :], jnp.zeros_like(g_pad[0][:, n:, :])
+    )
+    for a, b in zip(g_pad[1:], g_ref[1:]):
+        assert jnp.array_equal(a, b)
+
+
 def test_dropout_determinism():
     args = _params()
     run = lambda k: fused_mlp(

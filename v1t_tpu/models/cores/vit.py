@@ -34,7 +34,7 @@ from flax import linen as nn
 
 from v1t_tpu.models.registry import register_core
 from v1t_tpu.ops.attention import multi_head_attention
-from v1t_tpu.ops.fused_mha import fused_mha
+from v1t_tpu.ops.fused_mha import _choose_blocks, fused_mha
 from v1t_tpu.ops.fused_mlp import fused_mlp
 from v1t_tpu.ops.common import drop_path, find_shape, unfold_output_size, unfold_patches
 
@@ -180,7 +180,11 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, inputs: jax.Array, train: bool = False, return_probs: bool = False
+        self,
+        inputs: jax.Array,
+        train: bool = False,
+        return_probs: bool = False,
+        n_real: t.Optional[int] = None,
     ):
         b, n, _ = inputs.shape
         e, heads = self.emb_dim, self.num_heads
@@ -224,7 +228,15 @@ class Attention(nn.Module):
             and self.attention_impl in ("auto", "pallas")
             and dt == jnp.bfloat16
             and jax.default_backend() == "tpu"
+            # the fused kernel keeps whole-sequence K/V (+ fp32 dK/dV in the
+            # backward) resident in VMEM scratch — full-resolution runs
+            # (34k tokens, SURVEY §5.7) must take the composed flash path
+            and n <= 4096
         )
+        if n_real is not None and not use_fused:
+            raise ValueError(
+                "pad-once (n_real) requires the fused attention path"
+            )
         if not use_fused:
             # composed paths normalize here; the fused kernel does it inside
             x32 = inputs.astype(jnp.float32)
@@ -285,6 +297,7 @@ class Attention(nn.Module):
                 dropout_rate=self.dropout,
                 deterministic=not train,
                 rng=rng,
+                n_real=n_real,
             )
             probs = None
         else:
@@ -329,7 +342,12 @@ class MLP(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        inputs: jax.Array,
+        train: bool = False,
+        n_real: t.Optional[int] = None,
+    ) -> jax.Array:
         in_dim = inputs.shape[-1]
         gamma = self.param("ln_scale", nn.initializers.ones, (in_dim,))
         beta = self.param("ln_bias", nn.initializers.zeros, (in_dim,))
@@ -354,7 +372,10 @@ class MLP(nn.Module):
             return fused_mlp(
                 inputs.astype(dt), gamma, beta, w1, b1, w2, b2,
                 dropout_rate=self.dropout, deterministic=not train, rng=rng,
+                n_real=n_real,
             )
+        if n_real is not None:
+            raise ValueError("pad-once (n_real) requires the fused MLP path")
         # composed path (fp32 / CPU): identical math through XLA
         mean = jnp.mean(inputs.astype(jnp.float32), axis=-1, keepdims=True)
         var = jnp.var(inputs.astype(jnp.float32), axis=-1, keepdims=True)
@@ -396,8 +417,33 @@ class Transformer(nn.Module):
         train: bool = False,
         return_probs: bool = False,
     ):
+        from v1t_tpu.parallel.context import sequence_mesh
+
         outputs = inputs
         all_probs = []
+        n_tokens = inputs.shape[1]
+        # pad-once: when every sublayer runs the fused whole-sequence
+        # kernels, pad the residual stream to the kernel row multiple ONCE
+        # for the whole transformer instead of pad+slice per sublayer
+        # (V1T: 16 pad / 16 slice ops of a 34 MB stream per train step).
+        # The kernels zero their pad output rows, so pad rows carry only the
+        # per-block behavior latents (bounded by tanh) and every pad-row
+        # gradient is exactly zero — see fused_mha/fused_mlp `n_real`.
+        npad = _choose_blocks(n_tokens)[0]
+        pad_once = (
+            not return_probs
+            and sequence_mesh() is None
+            and self.dtype == jnp.bfloat16
+            and self.attention_impl in ("auto", "pallas")
+            and jax.default_backend() == "tpu"
+            and npad <= 2048  # whole-sequence mode on both sublayers
+        )
+        n_real = None
+        if pad_once:
+            outputs = jnp.pad(
+                outputs, ((0, 0), (0, npad - n_tokens), (0, 0))
+            )
+            n_real = n_tokens
         for i in range(self.num_blocks):
             if self.behavior_mode in (2, 3, 4):
                 b_latent = BehaviorMLP(
@@ -417,8 +463,8 @@ class Transformer(nn.Module):
             attn_cls = Attention
             mlp_cls = MLP
             if self.grad_checkpointing and not return_probs:
-                attn_cls = nn.remat(Attention, static_argnums=(2, 3))
-                mlp_cls = nn.remat(MLP, static_argnums=(2,))
+                attn_cls = nn.remat(Attention, static_argnums=(2, 3, 4))
+                mlp_cls = nn.remat(MLP, static_argnums=(2, 3))
             mha_out = attn_cls(
                 num_patches=self.num_patches,
                 emb_dim=self.emb_dim,
@@ -429,7 +475,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
                 name=f"block{i}_mha",
-            )(outputs, train, return_probs)
+            )(outputs, train, return_probs, n_real)
             if return_probs:
                 mha_out, probs = mha_out
                 all_probs.append(probs)
@@ -442,9 +488,11 @@ class Transformer(nn.Module):
                 use_bias=self.use_bias,
                 dtype=self.dtype,
                 name=f"block{i}_mlp",
-            )(outputs, train)
+            )(outputs, train, n_real)
             outputs = self._drop_path(mlp_out, train) + outputs
 
+        if pad_once:
+            outputs = outputs[:, :n_tokens, :]
         if return_probs:
             # (B, blocks, heads, N, N) like the reference Recorder
             # (src/v1t/utils/attention_rollout.py:49-77)

@@ -52,6 +52,22 @@ from v1t_tpu.ops.flash_attention import (
 
 BLOCK_Q = 256
 BLOCK_K = 896
+# whole-sequence mode: one q block and one k block per (batch, head) program.
+# Only the lane-tile alignment (128) pads the token axis — for V1T's 1654
+# tokens that is npad 1664 vs 1792 with 256-row blocks, i.e. 13.8% less work
+# in every N^2 matmul — and the per-program grid overhead drops ~7x. The
+# (npad, npad) fp32 score/probability temporaries must fit VMEM, hence the
+# npad cap (tuned on v5e: 2048^2 fp32 = 16 MB per temporary).
+WHOLE_SEQ_MAX = 2048
+
+
+def _choose_blocks(n: int) -> t.Tuple[int, int, int]:
+    """Returns (npad, block_q, block_k) for sequence length n."""
+    npad128 = _round_up(n, 128)
+    if npad128 <= WHOLE_SEQ_MAX:
+        return npad128, npad128, npad128
+    npad = _round_up(n, BLOCK_Q)
+    return npad, BLOCK_Q, (BLOCK_K if npad % BLOCK_K == 0 else BLOCK_Q)
 
 
 def _layernorm(x32, gamma, beta, eps=1e-6):
@@ -144,7 +160,16 @@ def _mha_fwd_kernel(
     def _add_acc():
         acc_scr[row, :] += proj
 
-    out_ref[0] = acc_scr[row, :].astype(out_ref.dtype)
+    # zero the padded query rows: keeps the residual stream's pad rows
+    # exactly zero in pad-once (whole-transformer padded) mode, so values
+    # there can never grow or NaN across blocks
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, out_ref.shape[-1]), 0)
+        + qi * block_q
+    )
+    out_ref[0] = jnp.where(
+        row_ids < n_real, acc_scr[row, :], 0.0
+    ).astype(out_ref.dtype)
 
 
 def _mha_bwd_kernel(
@@ -316,6 +341,7 @@ def _mha_forward(x_pad, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
     d = wqkv.shape[-1]
     h = cfg["num_heads"]
     nq = cfg["nq"]
+    bq = npad // nq
     grid = (b, h, nq)
     out, oh, lse = pl.pallas_call(
         functools.partial(_mha_fwd_kernel, **cfg),
@@ -332,12 +358,12 @@ def _mha_forward(x_pad, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, BLOCK_Q, e), lambda bi, hi, qi, *_: (bi, qi, 0)),
+                pl.BlockSpec((1, bq, e), lambda bi, hi, qi, *_: (bi, qi, 0)),
                 pl.BlockSpec(
-                    (1, 1, BLOCK_Q, d), lambda bi, hi, qi, *_: (bi, hi, qi, 0)
+                    (1, 1, bq, d), lambda bi, hi, qi, *_: (bi, hi, qi, 0)
                 ),
                 pl.BlockSpec(
-                    (1, 1, 8, BLOCK_Q), lambda bi, hi, qi, *_: (bi, hi, 0, qi)
+                    (1, 1, 8, bq), lambda bi, hi, qi, *_: (bi, hi, 0, qi)
                 ),
             ],
             scratch_shapes=[
@@ -353,6 +379,9 @@ def _mha_forward(x_pad, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # whole-sequence mode holds (npad, npad) fp32 score/probability
+            # temporaries in VMEM — past the default 16 MB scoped budget
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(seed, x_pad, gamma, beta, wqkv, wp, bp, scale)
     return out, oh, lse
@@ -364,6 +393,7 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
     d = wqkv.shape[-1]
     h = cfg["num_heads"]
     nq = cfg["nq"]
+    bq = npad // nq
     grid = (b, h, nq)
     dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale = pl.pallas_call(
         functools.partial(_mha_bwd_kernel, **cfg),
@@ -377,12 +407,12 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
                 pl.BlockSpec((3, h, e, d), lambda bi, hi, qi, *_: (0, 0, 0, 0)),
                 pl.BlockSpec((h, d, e), lambda bi, hi, qi, *_: (0, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, BLOCK_Q, e), lambda bi, hi, qi, *_: (bi, qi, 0)),
+                pl.BlockSpec((1, bq, e), lambda bi, hi, qi, *_: (bi, qi, 0)),
                 pl.BlockSpec(
-                    (1, 1, BLOCK_Q, d), lambda bi, hi, qi, *_: (bi, hi, qi, 0)
+                    (1, 1, bq, d), lambda bi, hi, qi, *_: (bi, hi, qi, 0)
                 ),
                 pl.BlockSpec(
-                    (1, 1, 8, BLOCK_Q), lambda bi, hi, qi, *_: (bi, hi, 0, qi)
+                    (1, 1, 8, bq), lambda bi, hi, qi, *_: (bi, hi, 0, qi)
                 ),
             ],
             out_specs=[
@@ -488,6 +518,7 @@ def fused_mha(
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     rng: t.Optional[jax.Array] = None,
+    n_real: t.Optional[int] = None,
 ) -> jax.Array:
     """The full pre-LN attention sublayer as one fused kernel.
 
@@ -501,16 +532,28 @@ def fused_mha(
         bp: (E,) output projection bias.
         scale: (H,) per-head scale — learnable under LSA (vit.py:236-239),
             constant emb^-0.5 otherwise.
+        n_real: pad-once mode — x is ALREADY padded to the kernel's row
+            multiple with zero rows, only the first n_real tokens are real,
+            and the output is returned padded (pad rows exactly zero). The
+            caller pads once for the whole transformer instead of per
+            sublayer.
     Returns:
         (B, N, E): projection(concat_heads(attention(layernorm(x)))) + bias.
     """
     b, n, e = x.shape
     _, num_heads, _, d = wqkv.shape
-    npad = _round_up(n, BLOCK_Q)
-    block_k = BLOCK_K if npad % BLOCK_K == 0 else BLOCK_Q
-    nq, nk = npad // BLOCK_Q, npad // block_k
-
-    x_pad = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    if n_real is not None:
+        npad, block_q, block_k = _choose_blocks(n_real)
+        if npad != n:
+            raise ValueError(
+                f"pad-once input rows {n} != kernel row multiple {npad} "
+                f"for n_real={n_real}"
+            )
+        x_pad, n = x, n_real
+    else:
+        npad, block_q, block_k = _choose_blocks(n)
+        x_pad = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    nq, nk = npad // block_q, npad // block_k
     if rng is None or deterministic or dropout_rate == 0.0:
         seed = jnp.zeros((1,), jnp.int32)
     else:
@@ -529,4 +572,4 @@ def fused_mha(
         beta.reshape(1, e).astype(jnp.float32),
         wqkv, wp, bp.reshape(1, e), scale[None], seed,
     )
-    return out[:, :n, :]
+    return out if n_real is not None else out[:, :n, :]
