@@ -147,6 +147,49 @@ def test_pad_once_mode_matches_unpadded():
         assert jnp.array_equal(a, b)
 
 
+def test_fold_out_dropout():
+    """Folded output dropout: deterministic given the rng, a no-op when
+    deterministic=True, drops ~rate of the entries, and the projection-bias
+    gradient (computed in-kernel from the masked cotangent) matches a
+    finite difference."""
+    args = _params(b=2, n=300, e=32, h=2, seed=9)
+    key = jax.random.key(3)
+
+    # no-op when deterministic
+    a = fused_mha(*args, deterministic=True, dropout_rate=0.5,
+                  fold_out_dropout=True)
+    b_ = fused_mha(*args, deterministic=True, dropout_rate=0.5)
+    assert jnp.array_equal(a, b_)
+
+    run = lambda k: fused_mha(
+        *args, dropout_rate=0.4, deterministic=False, rng=k,
+        fold_out_dropout=True,
+    )
+    o1, o2, o3 = run(key), run(key), run(jax.random.key(5))
+    assert jnp.array_equal(o1, o2)
+    assert not jnp.array_equal(o1, o3)
+    zero_frac = float(jnp.mean((o1 == 0).astype(jnp.float32)))
+    assert 0.3 < zero_frac < 0.5, zero_frac
+
+    # bias gradient through the folded dropout: finite difference
+    def loss(bp):
+        out = fused_mha(
+            args[0], args[1], args[2], args[3], args[4], bp, args[6],
+            dropout_rate=0.4, deterministic=False, rng=key,
+            fold_out_dropout=True,
+        )
+        return jnp.sum(out.astype(jnp.float32))
+
+    bp = args[5]
+    g = jax.grad(loss)(bp).astype(jnp.float32)
+    eps = 0.5
+    e0 = jnp.zeros_like(bp).at[7].set(eps)
+    fd = (loss(bp + e0) - loss(bp - e0)) / (2 * eps)
+    assert abs(float(g[7]) - float(fd)) < 0.05 * abs(float(fd)) + 1.0, (
+        float(g[7]), float(fd),
+    )
+
+
 def test_model_auto_dispatch_uses_fused_kernel():
     """attention_impl='auto' + bf16 on TPU must lower the vit core through
     the fused kernel (regression guard: a silent fallback would cost ~40%

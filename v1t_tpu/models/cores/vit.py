@@ -298,6 +298,7 @@ class Attention(nn.Module):
                 deterministic=not train,
                 rng=rng,
                 n_real=n_real,
+                fold_out_dropout=True,
             )
             probs = None
         else:
@@ -328,7 +329,9 @@ class Attention(nn.Module):
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, inner_dim)
             out = out @ wp.astype(out.dtype) + bp.astype(out.dtype)
 
-        out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
+        if not use_fused:
+            # the fused kernel applies the output dropout in-kernel
+            out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
         if return_probs:
             return out, probs
         return out

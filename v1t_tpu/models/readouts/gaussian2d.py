@@ -33,7 +33,7 @@ from flax import linen as nn
 from v1t_tpu.data.cards import NeuronCard
 from v1t_tpu.models.registry import register_readout
 from v1t_tpu.ops.grid_sample import grid_sample_tokens
-from v1t_tpu.ops.interp_matmul import interp_matmul_sample
+from v1t_tpu.ops.interp_matmul import interp_matmul_sample_cm
 
 
 def _straight_through_clamp(x: jax.Array, lo: float, hi: float) -> jax.Array:
@@ -174,25 +174,36 @@ class Gaussian2DReadout(nn.Module):
         grid = self.sample_grid(batch_size=batch_size, sample=sample, rng=rng)
         if shifts is not None:
             grid = grid + shifts[:, None, None, :]
-        # token-major sampling: the transpose cancels against the core's
-        # (b n c) -> (b c h w) output rearrange, so neither materializes
-        flat = inputs.reshape(batch_size, c, h * w).transpose(0, 2, 1)
         grid = grid.reshape(batch_size, self.num_neurons, 2)
         use_pallas = self.impl == "pallas" or (
             self.impl == "auto"
-            and flat.dtype == jnp.bfloat16
+            and inputs.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
         )
         if use_pallas:
-            sampled = interp_matmul_sample(flat, grid, height=h, width=w)
+            # channel-major: the kernel consumes the core's (B, C, h*w)
+            # layout directly (no transpose) and its matmuls put C in the
+            # MXU's sublane-padded M dimension (155 -> 160 rows instead of
+            # 155 -> 256 lanes)
+            flat_cm = inputs.reshape(batch_size, c, h * w)
+            sampled_cm = interp_matmul_sample_cm(
+                flat_cm, grid, height=h, width=w
+            )  # (B, C, N)
+            outputs = jnp.sum(
+                sampled_cm * self.features.reshape(1, c, self.num_neurons),
+                axis=1,
+            )  # (B, N)
         else:
+            # token-major sampling: the transpose cancels against the core's
+            # (b n c) -> (b c h w) output rearrange, so neither materializes
+            flat = inputs.reshape(batch_size, c, h * w).transpose(0, 2, 1)
             sampled = grid_sample_tokens(
                 flat, grid, height=h, width=w, mode="bilinear"
             )  # (B, N, C)
-        features = jnp.transpose(
-            self.features.reshape(c, self.num_neurons)
-        )  # (N, C)
-        outputs = jnp.sum(sampled * features[None], axis=2)  # (B, N)
+            features = jnp.transpose(
+                self.features.reshape(c, self.num_neurons)
+            )  # (N, C)
+            outputs = jnp.sum(sampled * features[None], axis=2)  # (B, N)
         if self.use_bias:
             outputs = outputs + self.bias
         return outputs

@@ -70,6 +70,29 @@ def _choose_blocks(n: int) -> t.Tuple[int, int, int]:
     return npad, BLOCK_Q, (BLOCK_K if npad % BLOCK_K == 0 else BLOCK_Q)
 
 
+# seed-space salt separating the folded output-dropout PRNG stream from the
+# attention-probability dropout stream (whose uids are tiny linear indices)
+_OUT_DROP_SALT = 1 << 24
+
+
+def _out_keep_mask(seed, b, qi, nq, shape, keep_prob: float):
+    """Deterministic keep mask for the folded output dropout of row block
+    (b, qi) — regenerable in forward and backward."""
+    pltpu.prng_seed(seed + _OUT_DROP_SALT + b * nq + qi)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits < jnp.uint32(keep_prob * 4294967295.0)
+
+
+def _key_pad_bias(kj, block_k: int, n_real: int):
+    """(1, block_k) additive score bias: 0 on real keys, MASK_VALUE on pad
+    columns. In the no-LSA case this replaces the full-matrix mask build +
+    select (iota + compare + select per score element) with one broadcast
+    add — the backward kernel is VPU-bound, so full-matrix elementwise ops
+    are what the score path pays for."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + kj * block_k
+    return jnp.where(col < n_real, 0.0, MASK_VALUE)
+
+
 def _layernorm(x32, gamma, beta, eps=1e-6):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -85,6 +108,7 @@ def _mha_fwd_kernel(
     kv_scr, acc_scr, ln_scr,
     *, n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
     use_lsa: bool, dropout_rate: float, deterministic: bool,
+    out_dropout: bool,
 ):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     block_q = oh_ref.shape[2]
@@ -122,8 +146,11 @@ def _mha_fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-        s = jnp.where(mask, s, MASK_VALUE)
+        if use_lsa:
+            mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
+            s = jnp.where(mask, s, MASK_VALUE)
+        else:
+            s = s + _key_pad_bias(kj, s.shape[1], n_real)
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m, m_curr)
         alpha = jnp.exp(m - m_next)
@@ -167,9 +194,16 @@ def _mha_fwd_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (block_q, out_ref.shape[-1]), 0)
         + qi * block_q
     )
-    out_ref[0] = jnp.where(
-        row_ids < n_real, acc_scr[row, :], 0.0
-    ).astype(out_ref.dtype)
+    val = jnp.where(row_ids < n_real, acc_scr[row, :], 0.0)
+    if out_dropout and dropout_rate > 0.0 and not deterministic:
+        # folded output dropout (reference vit.py:229-232): the mask is
+        # deterministic per (b, row block), so applying it on every head's
+        # writeback leaves the final (last-head) value correct
+        keep = _out_keep_mask(
+            seed_ref[0], b, qi, nq, val.shape, 1.0 - dropout_rate
+        )
+        val = jnp.where(keep, val / (1.0 - dropout_rate), 0.0)
+    out_ref[0] = val.astype(out_ref.dtype)
 
 
 def _mha_bwd_kernel(
@@ -177,11 +211,12 @@ def _mha_bwd_kernel(
     x_ref, g_ref, beta_ref, wqkv_ref, wp_ref, scale_ref, dout_ref,
     oh_ref, lse_ref,
     dx_ref, dg_ref, dbeta_ref, dwq_ref, dwk_ref, dwv_ref, dwp_ref,
-    dscale_ref,
+    dscale_ref, dbp_ref,
     kv_scr, dkv_scr, dx_scr, ln_scr, dwq_scr, dwk_scr, dwv_scr, dwp_scr,
-    dscale_scr,
+    dscale_scr, dbp_scr,
     *, n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
     use_lsa: bool, dropout_rate: float, deterministic: bool,
+    out_dropout: bool,
 ):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     block_q = dout_ref.shape[1]
@@ -193,6 +228,7 @@ def _mha_bwd_kernel(
         )
         ln_scr[...] = ln.astype(ln_scr.dtype)
         dx_scr[...] = jnp.zeros_like(dx_scr)
+        dbp_scr[...] = jnp.zeros_like(dbp_scr)
 
     @pl.when(qi == 0)
     def _init_per_head():
@@ -215,6 +251,25 @@ def _mha_bwd_kernel(
     q = (qraw * scale).astype(ln_scr.dtype)
 
     dout = dout_ref[0]  # (block_q, E) bf16
+    if out_dropout and dropout_rate > 0.0 and not deterministic:
+        # undo the folded output dropout: mask + rescale the cotangent with
+        # the regenerated forward mask before it reaches any gradient
+        keep = _out_keep_mask(
+            seed_ref[0], b, qi, nq, dout.shape, 1.0 - dropout_rate
+        )
+        dout = jnp.where(
+            keep, dout * jnp.asarray(1.0 / (1.0 - dropout_rate), dout.dtype),
+            jnp.asarray(0.0, dout.dtype),
+        )
+
+    # projection-bias gradient: sum of the (masked) cotangent rows; once per
+    # (b, qi) — the cotangent is identical across head passes
+    @pl.when(h == 0)
+    def _acc_dbp():
+        dbp_scr[...] += jnp.sum(
+            dout.astype(jnp.float32), axis=0, keepdims=True
+        )
+
     # do_h = dout @ Wp_h^T
     do = jax.lax.dot_general(
         dout, wp_ref[h], (((1,), (1,)), ((), ())),
@@ -233,8 +288,11 @@ def _mha_bwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-        s = jnp.where(mask, s, MASK_VALUE)
+        if use_lsa:
+            mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
+            s = jnp.where(mask, s, MASK_VALUE)
+        else:
+            s = s + _key_pad_bias(kj, s.shape[1], n_real)
         p = jnp.exp(s - lse)
         dp_raw = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -318,6 +376,7 @@ def _mha_bwd_kernel(
         dln = dx_scr[...]
         dg_ref[0] = jnp.sum(dln * xhat, axis=0, keepdims=True)
         dbeta_ref[0] = jnp.sum(dln, axis=0, keepdims=True)
+        dbp_ref[0] = dbp_scr[...]
         dxhat = dln * gamma
         dx = inv * (
             dxhat
@@ -328,11 +387,11 @@ def _mha_bwd_kernel(
 
 
 def _pack_static(n_real, num_heads, nq, nk, block_k, use_lsa, dropout_rate,
-                 deterministic):
+                 deterministic, out_dropout):
     return dict(
         n_real=n_real, num_heads=num_heads, nq=nq, nk=nk, block_k=block_k,
         use_lsa=use_lsa, dropout_rate=dropout_rate,
-        deterministic=deterministic,
+        deterministic=deterministic, out_dropout=out_dropout,
     )
 
 
@@ -395,7 +454,7 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
     nq = cfg["nq"]
     bq = npad // nq
     grid = (b, h, nq)
-    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale = pl.pallas_call(
+    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp = pl.pallas_call(
         functools.partial(_mha_bwd_kernel, **cfg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -426,6 +485,7 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
                 pl.BlockSpec(
                     (1, 1, 8, 128), lambda bi, hi, qi, *_: (bi, hi, 0, 0)
                 ),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, npad, d), x_pad.dtype),     # k, v
@@ -437,6 +497,7 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
                 pltpu.VMEM((e, d), jnp.float32),           # dwv
                 pltpu.VMEM((d, e), jnp.float32),           # dwp
                 pltpu.SMEM((1,), jnp.float32),             # dscale
+                pltpu.VMEM((1, e), jnp.float32),           # dbp
             ],
         ),
         out_shape=[
@@ -448,6 +509,7 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
             jax.ShapeDtypeStruct((b, h, e, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, d, e), jnp.float32),
             jax.ShapeDtypeStruct((b, h, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -456,7 +518,7 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(seed, x_pad, gamma, beta, wqkv, wp, scale, dout, oh, lse)
-    return dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale
+    return dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -479,7 +541,7 @@ def _mha_core_fwd(static_cfg, x_pad, gamma, beta, wqkv, wp, bp, scale, seed):
 def _mha_core_bwd(static_cfg, residuals, dout):
     cfg = _pack_static(*static_cfg)
     x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse = residuals
-    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale = _mha_backward(
+    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp_p = _mha_backward(
         x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse,
         dout.astype(x_pad.dtype), cfg=cfg,
     )
@@ -488,7 +550,9 @@ def _mha_core_bwd(static_cfg, residuals, dout):
         axis=0,
     )  # (3, H, E, D)
     dwp_total = jnp.sum(dwp, axis=0)  # (H, D, E)
-    dbp = jnp.sum(dout.astype(jnp.float32), axis=(0, 1))[None, :]  # (1, E)
+    # in-kernel partials: the folded output dropout must mask the cotangent
+    # before the bias gradient sees it
+    dbp = jnp.sum(dbp_p, axis=0)  # (1, E)
     dscale_total = jnp.sum(dscale[:, :, 0, 0], axis=0)[None]  # (1, H)
     return (
         dx,
@@ -519,6 +583,7 @@ def fused_mha(
     deterministic: bool = True,
     rng: t.Optional[jax.Array] = None,
     n_real: t.Optional[int] = None,
+    fold_out_dropout: bool = False,
 ) -> jax.Array:
     """The full pre-LN attention sublayer as one fused kernel.
 
@@ -537,6 +602,9 @@ def fused_mha(
             and the output is returned padded (pad rows exactly zero). The
             caller pads once for the whole transformer instead of per
             sublayer.
+        fold_out_dropout: apply the sublayer's output dropout
+            (reference vit.py:229-232) inside the kernel — the caller must
+            then NOT apply its own dropout to the result.
     Returns:
         (B, N, E): projection(concat_heads(attention(layernorm(x)))) + bias.
     """
@@ -561,7 +629,7 @@ def fused_mha(
 
     static_cfg = (
         n, int(num_heads), nq, nk, block_k, bool(use_lsa),
-        float(dropout_rate), bool(deterministic),
+        float(dropout_rate), bool(deterministic), bool(fold_out_dropout),
     )
     scale = jnp.broadcast_to(
         jnp.asarray(scale, jnp.float32).reshape(-1), (num_heads,)
