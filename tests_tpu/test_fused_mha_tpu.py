@@ -190,6 +190,40 @@ def test_fold_out_dropout():
     )
 
 
+def test_fold_residual():
+    """fold_residual emits sublayer(x) + x exactly (same bf16 add as XLA)
+    and routes the skip cotangent: dx_fold ~= dx + dout."""
+    args = _params(b=2, n=300, e=32, h=2, seed=13)
+    x = args[0]
+    key = jax.random.key(2)
+    kw = dict(use_lsa=True, dropout_rate=0.3, deterministic=False, rng=key,
+              fold_out_dropout=True)
+
+    out_fold = fused_mha(*args, **kw, fold_residual=True)
+    out_ref = fused_mha(*args, **kw) + x
+    assert jnp.array_equal(out_fold, out_ref)
+
+    def loss(fn_kw, x, wqkv):
+        o = fused_mha(x, args[1], args[2], wqkv, *args[4:], **kw, **fn_kw)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gx_f, gw_f = jax.grad(
+        functools.partial(loss, dict(fold_residual=True)), (0, 1)
+    )(x, args[3])
+
+    def loss_ref(x, wqkv):
+        o = fused_mha(x, args[1], args[2], wqkv, *args[4:], **kw) + x
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gx_r, gw_r = jax.grad(loss_ref, (0, 1))(x, args[3])
+    for a, b in ((gx_f, gx_r), (gw_f, gw_r)):
+        rel = float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+            / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-9)
+        )
+        assert rel < 1e-2, rel
+
+
 def test_model_auto_dispatch_uses_fused_kernel():
     """attention_impl='auto' + bf16 on TPU must lower the vit core through
     the fused kernel (regression guard: a silent fallback would cost ~40%

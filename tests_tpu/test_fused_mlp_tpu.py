@@ -107,6 +107,34 @@ def test_pad_once_mode_matches_unpadded():
         assert jnp.array_equal(a, b)
 
 
+def test_fold_residual():
+    """fold_residual emits mlp(x) + x exactly and routes the skip
+    cotangent in the backward."""
+    args = _params(seed=7)
+    x = args[0]
+    kw = dict(dropout_rate=0.3, deterministic=False, rng=jax.random.key(6))
+
+    out_fold = fused_mlp(*args, **kw, fold_residual=True)
+    out_ref = fused_mlp(*args, **kw) + x
+    assert jnp.array_equal(out_fold, out_ref)
+
+    def loss(fold, x, w1):
+        o = fused_mlp(x, args[1], args[2], w1, *args[4:], **kw,
+                      fold_residual=fold)
+        if not fold:
+            o = o + x
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gx_f, gw_f = jax.grad(lambda *a: loss(True, *a), (0, 1))(x, args[3])
+    gx_r, gw_r = jax.grad(lambda *a: loss(False, *a), (0, 1))(x, args[3])
+    for a, b in ((gx_f, gx_r), (gw_f, gw_r)):
+        rel = float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+            / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-9)
+        )
+        assert rel < 1e-2, rel
+
+
 def test_dropout_determinism():
     args = _params()
     run = lambda k: fused_mlp(

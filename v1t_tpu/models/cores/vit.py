@@ -185,6 +185,7 @@ class Attention(nn.Module):
         train: bool = False,
         return_probs: bool = False,
         n_real: t.Optional[int] = None,
+        fold_residual: bool = False,
     ):
         b, n, _ = inputs.shape
         e, heads = self.emb_dim, self.num_heads
@@ -233,9 +234,10 @@ class Attention(nn.Module):
             # (34k tokens, SURVEY §5.7) must take the composed flash path
             and n <= 4096
         )
-        if n_real is not None and not use_fused:
+        if (n_real is not None or fold_residual) and not use_fused:
             raise ValueError(
-                "pad-once (n_real) requires the fused attention path"
+                "pad-once (n_real) / fold_residual require the fused "
+                "attention path"
             )
         if not use_fused:
             # composed paths normalize here; the fused kernel does it inside
@@ -299,6 +301,7 @@ class Attention(nn.Module):
                 rng=rng,
                 n_real=n_real,
                 fold_out_dropout=True,
+                fold_residual=fold_residual,
             )
             probs = None
         else:
@@ -350,6 +353,7 @@ class MLP(nn.Module):
         inputs: jax.Array,
         train: bool = False,
         n_real: t.Optional[int] = None,
+        fold_residual: bool = False,
     ) -> jax.Array:
         in_dim = inputs.shape[-1]
         gamma = self.param("ln_scale", nn.initializers.ones, (in_dim,))
@@ -375,10 +379,12 @@ class MLP(nn.Module):
             return fused_mlp(
                 inputs.astype(dt), gamma, beta, w1, b1, w2, b2,
                 dropout_rate=self.dropout, deterministic=not train, rng=rng,
-                n_real=n_real,
+                n_real=n_real, fold_residual=fold_residual,
             )
-        if n_real is not None:
-            raise ValueError("pad-once (n_real) requires the fused MLP path")
+        if n_real is not None or fold_residual:
+            raise ValueError(
+                "pad-once (n_real) / fold_residual require the fused MLP path"
+            )
         # composed path (fp32 / CPU): identical math through XLA
         mean = jnp.mean(inputs.astype(jnp.float32), axis=-1, keepdims=True)
         var = jnp.var(inputs.astype(jnp.float32), axis=-1, keepdims=True)
@@ -447,6 +453,9 @@ class Transformer(nn.Module):
                 outputs, ((0, 0), (0, npad - n_tokens), (0, 0))
             )
             n_real = n_tokens
+        # fold the residual adds into the kernels (DropPath must be a no-op
+        # for `sublayer(x) + x` to be the whole block body)
+        fold_res = pad_once and (self.drop_path_rate == 0.0 or not train)
         for i in range(self.num_blocks):
             if self.behavior_mode in (2, 3, 4):
                 b_latent = BehaviorMLP(
@@ -466,8 +475,8 @@ class Transformer(nn.Module):
             attn_cls = Attention
             mlp_cls = MLP
             if self.grad_checkpointing and not return_probs:
-                attn_cls = nn.remat(Attention, static_argnums=(2, 3, 4))
-                mlp_cls = nn.remat(MLP, static_argnums=(2, 3))
+                attn_cls = nn.remat(Attention, static_argnums=(2, 3, 4, 5))
+                mlp_cls = nn.remat(MLP, static_argnums=(2, 3, 4))
             mha_out = attn_cls(
                 num_patches=self.num_patches,
                 emb_dim=self.emb_dim,
@@ -478,11 +487,14 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
                 name=f"block{i}_mha",
-            )(outputs, train, return_probs, n_real)
+            )(outputs, train, return_probs, n_real, fold_res)
             if return_probs:
                 mha_out, probs = mha_out
                 all_probs.append(probs)
-            outputs = self._drop_path(mha_out, train) + outputs
+            if fold_res:
+                outputs = mha_out  # kernel emitted sublayer(x) + x
+            else:
+                outputs = self._drop_path(mha_out, train) + outputs
 
             mlp_out = mlp_cls(
                 hidden_dim=self.mlp_dim,
@@ -491,8 +503,11 @@ class Transformer(nn.Module):
                 use_bias=self.use_bias,
                 dtype=self.dtype,
                 name=f"block{i}_mlp",
-            )(outputs, train, n_real)
-            outputs = self._drop_path(mlp_out, train) + outputs
+            )(outputs, train, n_real, fold_res)
+            if fold_res:
+                outputs = mlp_out  # kernel emitted sublayer(x) + x
+            else:
+                outputs = self._drop_path(mlp_out, train) + outputs
 
         if pad_once:
             outputs = outputs[:, :n_tokens, :]

@@ -108,7 +108,7 @@ def _mha_fwd_kernel(
     kv_scr, acc_scr, ln_scr,
     *, n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
     use_lsa: bool, dropout_rate: float, deterministic: bool,
-    out_dropout: bool,
+    out_dropout: bool, fold_residual: bool,
 ):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     block_q = oh_ref.shape[2]
@@ -203,7 +203,12 @@ def _mha_fwd_kernel(
             seed_ref[0], b, qi, nq, val.shape, 1.0 - dropout_rate
         )
         val = jnp.where(keep, val / (1.0 - dropout_rate), 0.0)
-    out_ref[0] = val.astype(out_ref.dtype)
+    out_val = val.astype(out_ref.dtype)
+    if fold_residual:
+        # emit dropout(proj(attention(ln(x)))) + x — the bf16 add matches
+        # the XLA residual add's rounding (sum in fp32, one bf16 round)
+        out_val = out_val + x_ref[0, pl.ds(qi * block_q, block_q), :]
+    out_ref[0] = out_val
 
 
 def _mha_bwd_kernel(
@@ -216,7 +221,7 @@ def _mha_bwd_kernel(
     dscale_scr, dbp_scr,
     *, n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
     use_lsa: bool, dropout_rate: float, deterministic: bool,
-    out_dropout: bool,
+    out_dropout: bool, fold_residual: bool,
 ):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     block_q = dout_ref.shape[1]
@@ -250,7 +255,8 @@ def _mha_bwd_kernel(
     )
     q = (qraw * scale).astype(ln_scr.dtype)
 
-    dout = dout_ref[0]  # (block_q, E) bf16
+    dout_raw = dout_ref[0]  # (block_q, E) bf16
+    dout = dout_raw
     if out_dropout and dropout_rate > 0.0 and not deterministic:
         # undo the folded output dropout: mask + rescale the cotangent with
         # the regenerated forward mask before it reaches any gradient
@@ -383,15 +389,21 @@ def _mha_bwd_kernel(
             - jnp.mean(dxhat, axis=-1, keepdims=True)
             - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
         )
+        if fold_residual:
+            # residual branch: the RAW (pre output-dropout-mask) cotangent
+            # flows straight through the y = f(x) + x skip. Whole-sequence
+            # mode only (nq == 1): this program's dout block is the band.
+            dx = dx + dout_raw.astype(jnp.float32)
         dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 def _pack_static(n_real, num_heads, nq, nk, block_k, use_lsa, dropout_rate,
-                 deterministic, out_dropout):
+                 deterministic, out_dropout, fold_residual):
     return dict(
         n_real=n_real, num_heads=num_heads, nq=nq, nk=nk, block_k=block_k,
         use_lsa=use_lsa, dropout_rate=dropout_rate,
         deterministic=deterministic, out_dropout=out_dropout,
+        fold_residual=fold_residual,
     )
 
 
@@ -584,6 +596,7 @@ def fused_mha(
     rng: t.Optional[jax.Array] = None,
     n_real: t.Optional[int] = None,
     fold_out_dropout: bool = False,
+    fold_residual: bool = False,
 ) -> jax.Array:
     """The full pre-LN attention sublayer as one fused kernel.
 
@@ -605,6 +618,9 @@ def fused_mha(
         fold_out_dropout: apply the sublayer's output dropout
             (reference vit.py:229-232) inside the kernel — the caller must
             then NOT apply its own dropout to the result.
+        fold_residual: emit ``sublayer(x) + x`` (and route the skip
+            cotangent in the backward) — the caller must then NOT add the
+            residual. Requires whole-sequence mode (one q block).
     Returns:
         (B, N, E): projection(concat_heads(attention(layernorm(x)))) + bias.
     """
@@ -627,9 +643,15 @@ def fused_mha(
     else:
         seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
 
+    if fold_residual and nq != 1:
+        raise ValueError(
+            "fold_residual requires whole-sequence mode (one q block); "
+            f"got nq={nq} for n={n}"
+        )
     static_cfg = (
         n, int(num_heads), nq, nk, block_k, bool(use_lsa),
         float(dropout_rate), bool(deterministic), bool(fold_out_dropout),
+        bool(fold_residual),
     )
     scale = jnp.broadcast_to(
         jnp.asarray(scale, jnp.float32).reshape(-1), (num_heads,)

@@ -89,6 +89,7 @@ def _dgelu(x):
 def _mlp_fwd_kernel(
     seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     *, dropout_rate: float, deterministic: bool, nr: int, n_real: int,
+    fold_residual: bool,
 ):
     bi, ri = pl.program_id(0), pl.program_id(1)
     x32 = x_ref[0].astype(jnp.float32)
@@ -117,7 +118,11 @@ def _mlp_fwd_kernel(
         jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) + ri * block_r
     )
     y = jnp.where(row_ids < n_real, y, 0.0)
-    out_ref[0] = y.astype(out_ref.dtype)
+    out = y.astype(out_ref.dtype)
+    if fold_residual:
+        # emit mlp(x) + x (bf16 add, same rounding as the XLA residual add)
+        out = out + x_ref[0]
+    out_ref[0] = out
 
 
 def _mlp_bwd_kernel(
@@ -125,6 +130,7 @@ def _mlp_bwd_kernel(
     dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     dg_scr, db_scr, dw1_scr, db1_scr, dw2_scr, db2_scr,
     *, dropout_rate: float, deterministic: bool, nr: int, n_real: int,
+    fold_residual: bool,
 ):
     # n_real is unused: pad rows of the incoming cotangent are zero by the
     # pad-once invariant, so every pad-row gradient is exactly zero already
@@ -195,6 +201,9 @@ def _mlp_bwd_kernel(
         - jnp.mean(dxhat, axis=-1, keepdims=True)
         - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     )
+    if fold_residual:
+        # residual branch: the raw cotangent passes through y = f(x) + x
+        dx = dx + do_ref[0].astype(jnp.float32)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
     @pl.when(ri == nr - 1)
@@ -295,7 +304,7 @@ def _mlp_backward(x_pad, gamma, beta, w1, b1, w2, b2, seed, do, *, cfg):
 def _unpack_static(static_cfg):
     return dict(
         dropout_rate=static_cfg[0], deterministic=static_cfg[1],
-        n_real=static_cfg[2],
+        n_real=static_cfg[2], fold_residual=static_cfg[3],
     )
 
 
@@ -347,13 +356,16 @@ def fused_mlp(
     deterministic: bool = True,
     rng: t.Optional[jax.Array] = None,
     n_real: t.Optional[int] = None,
+    fold_residual: bool = False,
 ) -> jax.Array:
     """dropout(fc2(dropout(gelu(fc1(layernorm(x)))))) as one fused kernel.
 
     x: (B, N, E); gamma/beta: (E,) LayerNorm affine; w1: (E, F), b1: (F,),
-    w2: (F, E), b2: (E,). Returns (B, N, E) — add the residual outside.
-    With ``n_real`` set, x is already padded to the kernel row multiple
-    (pad-once mode) and the output is returned padded, pad rows zero.
+    w2: (F, E), b2: (E,). Returns (B, N, E) — add the residual outside,
+    unless ``fold_residual`` (then ``mlp(x) + x`` is emitted and the skip
+    cotangent is routed in the backward). With ``n_real`` set, x is already
+    padded to the kernel row multiple (pad-once mode) and the output is
+    returned padded (pad rows carry only the residual).
     """
     b, n, e = x.shape
     if n_real is not None:
@@ -371,7 +383,9 @@ def fused_mlp(
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
-    static_cfg = (float(dropout_rate), bool(deterministic), int(n))
+    static_cfg = (
+        float(dropout_rate), bool(deterministic), int(n), bool(fold_residual)
+    )
     out = _mlp_core(
         static_cfg, x_pad,
         gamma.reshape(1, e).astype(jnp.float32),
