@@ -33,12 +33,17 @@ class BatchLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        image_dtype: t.Any = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # wire dtype for the (dominant) image field: under bf16 compute the
+        # model casts images to bf16 at entry anyway, so converting on the
+        # host halves host->device transfer volume at zero extra rounding
+        self.image_dtype = image_dtype
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -59,6 +64,8 @@ class BatchLoader:
     def _iter_sync(self):
         for pos in self._iter_positions():
             batch = self.dataset.get_batch(pos)
+            if self.image_dtype is not None:
+                batch["image"] = batch["image"].astype(self.image_dtype)
             batch["mouse_id"] = self.dataset.mouse_id
             yield batch
 
@@ -120,6 +127,17 @@ class CycleLoaders:
         return len(self.ds) * self.max_iterations
 
 
+def _wire_image_dtype(config):
+    """bf16 on the wire when the model computes in bf16 (it casts images to
+    bf16 at entry regardless, so this only moves the rounding to the host
+    and halves the dominant field's host->device transfer)."""
+    if getattr(config, "precision", None) == "bf16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return None
+
+
 def micro_batching(batch: t.Dict[str, np.ndarray], batch_size: int):
     """Slice a batch dict into micro-batches (reference data.py:106-110)."""
     indexes = np.arange(0, len(batch["image"]), step=batch_size, dtype=int)
@@ -156,22 +174,26 @@ def get_training_ds(
     """Per-mouse train/validation/test loaders + the run DataCard
     (reference data.py:437-491; the DataCard replaces the args mutation)."""
     train_ds, val_ds, test_ds = {}, {}, {}
+    image_dtype = _wire_image_dtype(config)
     for mouse_id in mouse_ids:
         train_ds[mouse_id] = BatchLoader(
             MouseDataset(config, tier="train", data_dir=data_dir, mouse_id=mouse_id),
             batch_size=batch_size,
             shuffle=True,
             seed=config.seed,
+            image_dtype=image_dtype,
         )
         val_ds[mouse_id] = BatchLoader(
             MouseDataset(
                 config, tier="validation", data_dir=data_dir, mouse_id=mouse_id
             ),
             batch_size=batch_size,
+            image_dtype=image_dtype,
         )
         test_ds[mouse_id] = BatchLoader(
             MouseDataset(config, tier="test", data_dir=data_dir, mouse_id=mouse_id),
             batch_size=batch_size,
+            image_dtype=image_dtype,
         )
     card = build_data_card(config, train_ds)
     # keep the args.yaml replay contract fields (reference data.py:487-489)
