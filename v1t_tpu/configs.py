@@ -191,7 +191,9 @@ def save_args(config: Config) -> str:
     # experimental kernel knobs are env vars; record them so a replayed run
     # can reproduce the exact kernel configuration
     kernel_env = {
-        k: v for k, v in os.environ.items() if k.startswith("V1T_FLASH_")
+        k: v
+        for k, v in os.environ.items()
+        if k.startswith("V1T_FLASH_") or k.startswith("V1T_FUSED_")
     }
     if kernel_env:
         payload["kernel_env"] = kernel_env

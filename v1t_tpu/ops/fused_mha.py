@@ -62,9 +62,19 @@ WHOLE_SEQ_MAX = 2048
 
 
 def _choose_blocks(n: int) -> t.Tuple[int, int, int]:
-    """Returns (npad, block_q, block_k) for sequence length n."""
+    """Returns (npad, block_q, block_k) for sequence length n.
+
+    ``V1T_FUSED_BLOCK_K`` overrides the k-block size in whole-sequence mode
+    (must divide npad; forward and backward share the tiling, keeping the
+    regenerated dropout masks identical) — an experimentation knob for
+    k-chunk pipelining measurements."""
+    import os
+
     npad128 = _round_up(n, 128)
     if npad128 <= WHOLE_SEQ_MAX:
+        bk = int(os.environ.get("V1T_FUSED_BLOCK_K", "0"))
+        if bk > 0 and npad128 % bk == 0 and bk % 128 == 0:
+            return npad128, npad128, bk
         return npad128, npad128, npad128
     npad = _round_up(n, BLOCK_Q)
     return npad, BLOCK_Q, (BLOCK_K if npad % BLOCK_K == 0 else BLOCK_Q)
