@@ -40,9 +40,11 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
-        # wire dtype for the (dominant) image field: under bf16 compute the
-        # model casts images to bf16 at entry anyway, so converting on the
-        # host halves host->device transfer volume at zero extra rounding
+        # wire dtype for the (dominant) image field: under bf16 compute,
+        # converting on the host halves host->device transfer volume. Note
+        # the rounding point moves: the cropper's crop/resize then runs on
+        # bf16-quantized standardized images (~0.4% relative input noise)
+        # instead of quantizing after them at the patch projection.
         self.image_dtype = image_dtype
         self._rng = np.random.default_rng(seed)
 
@@ -128,9 +130,10 @@ class CycleLoaders:
 
 
 def _wire_image_dtype(config):
-    """bf16 on the wire when the model computes in bf16 (it casts images to
-    bf16 at entry regardless, so this only moves the rounding to the host
-    and halves the dominant field's host->device transfer)."""
+    """bf16 on the wire when the model computes in bf16 — halves the
+    dominant field's host->device transfer. Rounding moves ahead of the
+    cropper's crop/resize (previously fp32 until the patch projection);
+    the ~0.4%-relative input quantization is within bf16 compute noise."""
     if getattr(config, "precision", None) == "bf16":
         import ml_dtypes
 
@@ -208,10 +211,14 @@ def get_submission_ds(
     """Live-test + final-test loaders for submission (reference
     data.py:494-541). final_test exists only for S0/S1."""
     test_ds, final_test_ds = {}, {}
+    # same wire dtype as the training loaders: submission inference must see
+    # numerically identical inputs to the validated train/val/test path
+    image_dtype = _wire_image_dtype(config)
     for mouse_id in list(config.output_shapes.keys()):
         test_ds[mouse_id] = BatchLoader(
             MouseDataset(config, tier="test", data_dir=data_dir, mouse_id=mouse_id),
             batch_size=batch_size,
+            image_dtype=image_dtype,
         )
         if mouse_id in ("S0", "S1"):
             final_test_ds[mouse_id] = BatchLoader(
@@ -219,5 +226,6 @@ def get_submission_ds(
                     config, tier="final_test", data_dir=data_dir, mouse_id=mouse_id
                 ),
                 batch_size=batch_size,
+                image_dtype=image_dtype,
             )
     return test_ds, final_test_ds

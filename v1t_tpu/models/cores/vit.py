@@ -34,11 +34,28 @@ from flax import linen as nn
 
 from v1t_tpu.models.registry import register_core
 from v1t_tpu.ops.attention import multi_head_attention
-from v1t_tpu.ops.fused_mha import _choose_blocks, fused_mha
+from v1t_tpu.ops.fused_mha import WHOLE_SEQ_MAX, _choose_blocks, fused_mha
 from v1t_tpu.ops.fused_mlp import fused_mlp
 from v1t_tpu.ops.common import drop_path, find_shape, unfold_output_size, unfold_patches
 
 Dtype = t.Any
+
+# beyond this the fused attention kernel's whole-sequence K/V (+ fp32
+# dK/dV in the backward) VMEM scratch overflows — full-resolution runs
+# (34k tokens, SURVEY §5.7) must take the composed flash path
+FUSED_MAX_N = 4096
+
+
+def _fused_attention_eligible(dtype, attention_impl: str, n: int) -> bool:
+    """Single source of truth for fused attention-sublayer gating, shared by
+    the Transformer's pad-once decision and Attention's dispatch so the two
+    cannot drift (pad-once REQUIRES the fused path downstream)."""
+    return (
+        attention_impl in ("auto", "pallas")
+        and dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and n <= FUSED_MAX_N
+    )
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -226,13 +243,7 @@ class Attention(nn.Module):
         use_fused = (
             seq_ctx is None
             and not return_probs
-            and self.attention_impl in ("auto", "pallas")
-            and dt == jnp.bfloat16
-            and jax.default_backend() == "tpu"
-            # the fused kernel keeps whole-sequence K/V (+ fp32 dK/dV in the
-            # backward) resident in VMEM scratch — full-resolution runs
-            # (34k tokens, SURVEY §5.7) must take the composed flash path
-            and n <= 4096
+            and _fused_attention_eligible(dt, self.attention_impl, n)
         )
         if (n_real is not None or fold_residual) and not use_fused:
             raise ValueError(
@@ -442,10 +453,8 @@ class Transformer(nn.Module):
         pad_once = (
             not return_probs
             and sequence_mesh() is None
-            and self.dtype == jnp.bfloat16
-            and self.attention_impl in ("auto", "pallas")
-            and jax.default_backend() == "tpu"
-            and npad <= 2048  # whole-sequence mode on both sublayers
+            and _fused_attention_eligible(self.dtype, self.attention_impl, npad)
+            and npad <= WHOLE_SEQ_MAX  # whole-sequence mode on both sublayers
         )
         n_real = None
         if pad_once:

@@ -73,7 +73,15 @@ def _choose_blocks(n: int) -> t.Tuple[int, int, int]:
     npad128 = _round_up(n, 128)
     if npad128 <= WHOLE_SEQ_MAX:
         bk = int(os.environ.get("V1T_FUSED_BLOCK_K", "0"))
-        if bk > 0 and npad128 % bk == 0 and bk % 128 == 0:
+        if bk:
+            # loud on invalid values: save_args records the env var as the
+            # effective kernel config, so a silent fallback would put a
+            # config that never ran into args.yaml
+            if npad128 % bk != 0 or bk % 128 != 0:
+                raise ValueError(
+                    f"V1T_FUSED_BLOCK_K={bk} must be a 128-multiple "
+                    f"divisor of npad={npad128}"
+                )
             return npad128, npad128, bk
         return npad128, npad128, npad128
     npad = _round_up(n, BLOCK_Q)

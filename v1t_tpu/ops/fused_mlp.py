@@ -41,7 +41,7 @@ def _block_r(npad: int) -> int:
 
 
 def _choose_rows(n: int) -> int:
-    npad128 = ((n + 127) // 128) * 128
+    npad128 = _round_up(n, 128)
     if npad128 <= WHOLE_ROWS_MAX:
         return npad128
     return _round_up(n, BLOCK_R)
