@@ -304,6 +304,9 @@ def _mha_bwd_kernel(
     lse = lse_ref[0, 0][:1, :].T  # (block_q, 1)
 
     bh = b * num_heads + h
+    # bf16 operands for the N^2 matmuls (fp32 accumulation): an fp32 x fp32
+    # MXU matmul decomposes into multiple bf16 passes
+    do_b = do.astype(ln_scr.dtype)
     dq = jnp.zeros((block_q, q.shape[1]), jnp.float32)
     for kj in range(nk):
         ksl = pl.ds(kj * block_k, block_k)
@@ -319,7 +322,7 @@ def _mha_bwd_kernel(
             s = s + _key_pad_bias(kj, s.shape[1], n_real)
         p = jnp.exp(s - lse)
         dp_raw = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do_b, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if dropout_rate > 0.0 and not deterministic:
@@ -341,7 +344,7 @@ def _mha_bwd_kernel(
             preferred_element_type=jnp.float32,
         )
         dkv_scr[1, ksl, :] += jax.lax.dot_general(
-            p_dropped, do, (((0,), (0,)), ((), ())),
+            p_dropped.astype(ln_scr.dtype), do_b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
