@@ -92,3 +92,17 @@ def test_pad_once_gating_implies_fused_dispatch():
                 a = _fused_attention_eligible(jnp.bfloat16, impl, npad)
                 b = _fused_attention_eligible(jnp.bfloat16, impl, npad)
                 assert a == b
+
+
+def test_interp_matmul_table_cap():
+    """Tables beyond the VMEM-resident cap must raise (the readout's auto
+    dispatch falls back to XLA gathers for full-resolution feature maps)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from v1t_tpu.ops.interp_matmul import MAX_TABLE_ROWS, interp_matmul_sample_cm
+
+    flat = jnp.zeros((1, 8, MAX_TABLE_ROWS + 1), jnp.float32)
+    grid = jnp.zeros((1, 4, 2), jnp.float32)
+    with pytest.raises(ValueError):
+        interp_matmul_sample_cm(flat, grid, height=1, width=MAX_TABLE_ROWS + 1)

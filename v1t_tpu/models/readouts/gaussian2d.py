@@ -33,7 +33,7 @@ from flax import linen as nn
 from v1t_tpu.data.cards import NeuronCard
 from v1t_tpu.models.registry import register_readout
 from v1t_tpu.ops.grid_sample import grid_sample_tokens
-from v1t_tpu.ops.interp_matmul import interp_matmul_sample_cm
+from v1t_tpu.ops.interp_matmul import MAX_TABLE_ROWS, interp_matmul_sample_cm
 
 
 def _straight_through_clamp(x: jax.Array, lo: float, hi: float) -> jax.Array:
@@ -179,6 +179,9 @@ class Gaussian2DReadout(nn.Module):
             self.impl == "auto"
             and inputs.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
+            # full-resolution feature maps (34k tokens) exceed the kernel's
+            # VMEM-resident table cap -> exact XLA gather path
+            and h * w <= MAX_TABLE_ROWS
         )
         if use_pallas:
             # channel-major: the kernel consumes the core's (B, C, h*w)

@@ -47,6 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 P_CHUNK = 512    # points per program
 
+# the kernels keep the whole (C, T) table resident in VMEM plus ~5 live
+# (T, P_CHUNK) fp32 hat/derivative matrices in the merged backward
+# (~11 KB per table row at C=155) — beyond this cap (e.g. full-resolution
+# 34k-token feature maps) callers must use the XLA gather path
+MAX_TABLE_ROWS = 4096
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -215,6 +221,11 @@ def interp_matmul_sample_cm(
     assert flat_cm.ndim == 3 and grid.ndim == 3 and grid.shape[-1] == 2
     b, c, t = flat_cm.shape
     p = grid.shape[1]
+    if t > MAX_TABLE_ROWS:
+        raise ValueError(
+            f"interp_matmul: table of {t} rows exceeds the VMEM-resident cap "
+            f"({MAX_TABLE_ROWS}); use grid_sample_tokens for this shape"
+        )
     # pixel-space coordinates (align_corners=True: -1 -> 0, +1 -> size-1)
     xs = (grid[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (width - 1)
     ys = (grid[..., 1].astype(jnp.float32) + 1.0) * 0.5 * (height - 1)
