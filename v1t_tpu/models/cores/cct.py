@@ -77,6 +77,9 @@ class Tokenizer(nn.Module):
         assert self.pos_emb in ("sine", "learn", "none")
         b = inputs.shape[0]
         x = jnp.transpose(inputs, (0, 2, 3, 1))  # NCHW -> NHWC
+        from v1t_tpu.ops.common import torch_default_bias_init
+
+        c_in = inputs.shape[1]
         x = nn.Conv(
             features=self.emb_dim,
             kernel_size=(self.patch_size, self.patch_size),
@@ -84,7 +87,14 @@ class Tokenizer(nn.Module):
             padding=self.padding,
             use_bias=self.use_bias,
             dtype=self.dtype,
-            kernel_init=nn.initializers.he_normal(),
+            # reference Tokenizer.init_weight: kaiming_normal_ on the conv
+            # weight only (cct.py:82-84); the bias keeps the torch default
+            kernel_init=nn.initializers.variance_scaling(
+                2.0, "fan_in", "normal"
+            ),
+            bias_init=torch_default_bias_init(
+                c_in * self.patch_size * self.patch_size
+            ),
             name="conv2d",
         )(x)
         x = nn.relu(x)

@@ -34,10 +34,21 @@ class LinearCore(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, mouse_id, behaviors, pupil_centers, train=False):
+        from v1t_tpu.ops.common import (
+            torch_default_bias_init,
+            torch_default_kernel_init,
+        )
+
         b = inputs.shape[0]
         c, h, w = self.image_shape
         x = inputs.reshape(b, -1)
-        x = nn.Dense(features=c * h * w, dtype=self.dtype, name="linear")(x)
+        # torch default Linear init (reference linear.py sets none)
+        x = nn.Dense(
+            features=c * h * w, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(x.shape[-1]),
+            name="linear",
+        )(x)
         return x.reshape(b, c, h, w)
 
     @staticmethod

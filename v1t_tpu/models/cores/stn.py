@@ -70,22 +70,40 @@ class SpatialTransformerCore(nn.Module):
     def __call__(
         self, inputs, mouse_id: str, behaviors, pupil_centers, train: bool = False
     ):
+        from v1t_tpu.ops.common import (
+            torch_default_bias_init,
+            torch_default_kernel_init,
+        )
+
+        def _torch_conv(features, kernel, fan_in, name, padding="VALID"):
+            # torch default Conv2d init (reference stn.py sets no custom
+            # init except the identity regressor)
+            return nn.Conv(
+                features, kernel, padding=padding, dtype=self.dtype,
+                kernel_init=torch_default_kernel_init,
+                bias_init=torch_default_bias_init(fan_in),
+                name=name,
+            )
+
         b, c, h, w = inputs.shape
         x_nhwc = jnp.transpose(inputs, (0, 2, 3, 1))
 
         # --- localization network (stn.py:34-41) ---
-        loc = nn.Conv(8, (7, 7), padding="VALID", dtype=self.dtype,
-                      name="loc_conv1")(x_nhwc)
+        loc = _torch_conv(8, (7, 7), c * 49, "loc_conv1")(x_nhwc)
         loc = nn.max_pool(loc, (2, 2), strides=(2, 2))
         loc = nn.relu(loc)
-        loc = nn.Conv(10, (5, 5), padding="VALID", dtype=self.dtype,
-                      name="loc_conv2")(loc)
+        loc = _torch_conv(10, (5, 5), 8 * 25, "loc_conv2")(loc)
         loc = nn.max_pool(loc, (2, 2), strides=(2, 2))
         loc = nn.relu(loc)
 
         # --- affine regressor with identity init (stn.py:50-61) ---
         flat = loc.reshape(b, -1)
-        reg = nn.Dense(32, dtype=self.dtype, name="reg_fc1")(flat)
+        reg = nn.Dense(
+            32, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(flat.shape[-1]),
+            name="reg_fc1",
+        )(flat)
         reg = nn.relu(reg)
         theta = nn.Dense(
             6,
@@ -102,14 +120,15 @@ class SpatialTransformerCore(nn.Module):
 
         # --- residual CNN stack (stn.py:80-114, 137-138) ---
         x = jnp.transpose(outputs, (0, 2, 3, 1))
-        x = nn.Conv(self.num_filters, (9, 9), padding="VALID", dtype=self.dtype,
-                    name="block1_conv")(x)
+        x = _torch_conv(self.num_filters, (9, 9), c * 81, "block1_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, name="block1_bn")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         for i in range(1, self.num_layers):
-            y = nn.Conv(self.num_filters, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"block{i + 1}_conv")(x)
+            y = _torch_conv(
+                self.num_filters, (3, 3), self.num_filters * 9,
+                f"block{i + 1}_conv", padding=1,
+            )(x)
             y = nn.BatchNorm(use_running_average=not train, name=f"block{i + 1}_bn")(y)
             y = nn.gelu(y, approximate=False)
             if i < self.num_layers - 1:

@@ -36,7 +36,14 @@ from v1t_tpu.models.registry import register_core
 from v1t_tpu.ops.attention import multi_head_attention
 from v1t_tpu.ops.fused_mha import WHOLE_SEQ_MAX, _choose_blocks, fused_mha
 from v1t_tpu.ops.fused_mlp import fused_mlp
-from v1t_tpu.ops.common import drop_path, find_shape, unfold_output_size, unfold_patches
+from v1t_tpu.ops.common import (
+    drop_path,
+    find_shape,
+    torch_default_bias_init,
+    torch_default_kernel_init,
+    unfold_output_size,
+    unfold_patches,
+)
 
 Dtype = t.Any
 
@@ -69,6 +76,20 @@ def _dense(features: int, use_bias: bool = True, dtype: Dtype = None, name=None)
         dtype=dtype,
         kernel_init=trunc_normal_init,
         bias_init=nn.initializers.zeros,
+        name=name,
+    )
+
+
+def _torch_dense(features: int, fan_in: int, dtype: Dtype = None, name=None):
+    """Dense with torch's DEFAULT Linear init — the reference's
+    Image2Patches applies custom init only to Conv2d (vit.py:118-120), so
+    its Linear projections keep kaiming_uniform(a=sqrt(5)) weights and
+    U(+-1/sqrt(fan_in)) bias."""
+    return nn.Dense(
+        features=features,
+        dtype=dtype,
+        kernel_init=torch_default_kernel_init,
+        bias_init=torch_default_bias_init(fan_in),
         name=name,
     )
 
@@ -110,9 +131,13 @@ class Image2Patches(nn.Module):
     def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
         b = inputs.shape[0]
         p, s = self.patch_size, self.stride
+        c_in = inputs.shape[1]
         if self.patch_mode == 0:
             patches = unfold_patches(inputs, p, s)
-            patches = _dense(self.emb_dim, dtype=self.dtype, name="projection")(patches)
+            patches = _torch_dense(
+                self.emb_dim, fan_in=c_in * p * p, dtype=self.dtype,
+                name="projection",
+            )(patches)
         elif self.patch_mode == 1:
             x = jnp.transpose(inputs, (0, 2, 3, 1))  # NCHW -> NHWC
             x = nn.Conv(
@@ -121,7 +146,13 @@ class Image2Patches(nn.Module):
                 strides=(s, s),
                 padding="VALID",
                 dtype=self.dtype,
-                kernel_init=nn.initializers.he_normal(),
+                # reference init_weight: nn.init.kaiming_normal_ on Conv2d
+                # (vit.py:118-120) — fan_in normal, gain sqrt(2); bias keeps
+                # the torch default
+                kernel_init=nn.initializers.variance_scaling(
+                    2.0, "fan_in", "normal"
+                ),
+                bias_init=torch_default_bias_init(c_in * p * p),
                 name="projection",
             )(x)
             patches = x.reshape(b, -1, self.emb_dim)
@@ -129,11 +160,17 @@ class Image2Patches(nn.Module):
             shifted = patch_shift(inputs, p)
             patches = unfold_patches(shifted, p, s)
             patches = nn.LayerNorm(name="patch_norm")(patches)
-            patches = _dense(self.emb_dim, dtype=self.dtype, name="projection")(patches)
+            patches = _torch_dense(
+                self.emb_dim, fan_in=5 * c_in * p * p, dtype=self.dtype,
+                name="projection",
+            )(patches)
         elif self.patch_mode == 3:
             patches = unfold_patches(inputs, p, s)
             patches = nn.LayerNorm(name="pre_norm")(patches)
-            patches = _dense(self.emb_dim, dtype=self.dtype, name="projection")(patches)
+            patches = _torch_dense(
+                self.emb_dim, fan_in=c_in * p * p, dtype=self.dtype,
+                name="projection",
+            )(patches)
             patches = nn.LayerNorm(name="post_norm")(patches)
         else:
             raise NotImplementedError(f"patch_mode {self.patch_mode} not implemented.")

@@ -37,11 +37,28 @@ class ImageShifter(nn.Module):
         inputs = pupil_centers
         if self.shift_mode == 4:
             inputs = jnp.concatenate([behaviors, pupil_centers], axis=-1)
+        # torch default Linear init (the reference sets no custom init in
+        # image_cropper.py)
+        from v1t_tpu.ops.common import (
+            torch_default_bias_init,
+            torch_default_kernel_init,
+        )
+
         x = inputs
         for i in range(self.num_layers - 1):
-            x = nn.Dense(self.hidden_features, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.Dense(
+                self.hidden_features, dtype=self.dtype,
+                kernel_init=torch_default_kernel_init,
+                bias_init=torch_default_bias_init(x.shape[-1]),
+                name=f"fc{i}",
+            )(x)
             x = jnp.tanh(x)
-        x = nn.Dense(2, dtype=self.dtype, name=f"fc{self.num_layers - 1}")(x)
+        x = nn.Dense(
+            2, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(x.shape[-1]),
+            name=f"fc{self.num_layers - 1}",
+        )(x)
         x = jnp.tanh(x)
         return x * self.max_shift
 

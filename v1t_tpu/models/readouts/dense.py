@@ -11,6 +11,7 @@ from flax import linen as nn
 
 from v1t_tpu.data.cards import NeuronCard
 from v1t_tpu.models.registry import register_readout
+from v1t_tpu.ops.common import torch_default_bias_init, torch_default_kernel_init
 
 
 @register_readout("dense")
@@ -29,10 +30,21 @@ class DenseReadout(nn.Module):
     def __call__(self, inputs, shifts=None, train=False, sample=None):
         b = inputs.shape[0]
         x = inputs.reshape(b, -1)
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        # torch default Linear init (reference dense.py sets none)
+        x = nn.Dense(
+            self.hidden_dim, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(x.shape[-1]),
+            name="fc1",
+        )(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.num_neurons, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(
+            self.num_neurons, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(self.hidden_dim),
+            name="fc2",
+        )(x)
         return x
 
     @staticmethod

@@ -119,8 +119,25 @@ class Gaussian2DReadout(nn.Module):
             source = source - source.mean(axis=0, keepdims=True)
             source = source / np.abs(source).max()
             self.source_grid = jnp.asarray(source)  # (N, dim) constant buffer
-            self.mu_fc1 = nn.Dense(30, name="mu_fc1")
-            self.mu_fc2 = nn.Dense(2, name="mu_fc2")
+            # torch default Linear init (the reference's mu_transform
+            # Sequential sets no custom init, gaussian2d.py:130-136)
+            from v1t_tpu.ops.common import (
+                torch_default_bias_init,
+                torch_default_kernel_init,
+            )
+
+            self.mu_fc1 = nn.Dense(
+                30,
+                kernel_init=torch_default_kernel_init,
+                bias_init=torch_default_bias_init(source.shape[1]),
+                name="mu_fc1",
+            )
+            self.mu_fc2 = nn.Dense(
+                2,
+                kernel_init=torch_default_kernel_init,
+                bias_init=torch_default_bias_init(30),
+                name="mu_fc2",
+            )
         else:
             self._mu = self.param(
                 "_mu",

@@ -11,6 +11,7 @@ from flax import linen as nn
 
 from v1t_tpu.data.cards import NeuronCard
 from v1t_tpu.models.registry import register_readout
+from v1t_tpu.ops.common import torch_default_bias_init, torch_default_kernel_init
 
 
 @register_readout("linear")
@@ -27,7 +28,13 @@ class LinearReadout(nn.Module):
     def __call__(self, inputs, shifts=None, train=False, sample=None):
         b = inputs.shape[0]
         x = inputs.reshape(b, -1)
-        return nn.Dense(self.num_neurons, dtype=self.dtype, name="linear")(x)
+        # torch default Linear init (reference linear.py sets none)
+        return nn.Dense(
+            self.num_neurons, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(x.shape[-1]),
+            name="linear",
+        )(x)
 
     @staticmethod
     def regularizer(params: dict, reg_scale: float) -> jax.Array:

@@ -22,11 +22,27 @@ class CoreShifter(nn.Module):
 
     @nn.compact
     def __call__(self, pupil_centers: jax.Array) -> jax.Array:
+        # torch default Linear init (reference core_shifter.py sets none)
+        from v1t_tpu.ops.common import (
+            torch_default_bias_init,
+            torch_default_kernel_init,
+        )
+
         x = pupil_centers
         for i in range(self.num_layers - 1):
-            x = nn.Dense(self.hidden_features, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.Dense(
+                self.hidden_features, dtype=self.dtype,
+                kernel_init=torch_default_kernel_init,
+                bias_init=torch_default_bias_init(x.shape[-1]),
+                name=f"fc{i}",
+            )(x)
             x = jnp.tanh(x)
-        x = nn.Dense(2, dtype=self.dtype, name=f"fc{self.num_layers - 1}")(x)
+        x = nn.Dense(
+            2, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(x.shape[-1]),
+            name=f"fc{self.num_layers - 1}",
+        )(x)
         return jnp.tanh(x)
 
 

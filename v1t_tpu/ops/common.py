@@ -8,6 +8,32 @@ import jax
 import jax.numpy as jnp
 
 
+def torch_default_kernel_init(key, shape, dtype=jnp.float32):
+    """torch's default nn.Linear / nn.Conv2d weight init:
+    kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+    Works for Dense kernels (fan_in, fan_out) and flax Conv kernels
+    (kh, kw, in, out): fan_in = prod(shape[:-1]). The reference keeps torch
+    defaults for every module OUTSIDE the transformer's trunc-normal init
+    (shifters, mu-predictor, patch/readout Linears — e.g. nothing in
+    src/v1t/models/image_cropper.py or readout/dense.py sets an init)."""
+    fan_in = 1
+    for s in shape[:-1]:
+        fan_in *= s
+    bound = fan_in ** -0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_default_bias_init(fan_in: int):
+    """torch's default Linear/Conv bias init: U(+-1/sqrt(fan_in)). The bias
+    shape doesn't carry fan_in, so it is bound at construction."""
+    bound = fan_in ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def elu1(x: jax.Array) -> jax.Array:
     """ELU(x) + 1 — keeps predicted firing rates positive.
 

@@ -37,7 +37,18 @@ class ClassificationModel(nn.Module):
             self.config, image_shape=self.image_shape, mouse_ids=("share",),
             dtype=self.dtype,
         )
-        self.head = nn.Dense(self.num_classes, name="head")
+        from v1t_tpu.ops.common import (
+            torch_default_bias_init,
+            torch_default_kernel_init,
+        )
+
+        # torch default Linear init (the reference pretrain heads set none)
+        self.head = nn.Dense(
+            self.num_classes,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(self.config.emb_dim),
+            name="head",
+        )
 
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
         b = images.shape[0]
@@ -64,7 +75,17 @@ class ReconstructionModel(nn.Module):
             self.config, image_shape=self.image_shape, mouse_ids=("share",),
             dtype=self.dtype,
         )
-        self.decoder = nn.Dense(1, name="decoder")
+        from v1t_tpu.ops.common import (
+            torch_default_bias_init,
+            torch_default_kernel_init,
+        )
+
+        self.decoder = nn.Dense(
+            1,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(self.config.emb_dim),
+            name="decoder",
+        )
 
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
         b = images.shape[0]
