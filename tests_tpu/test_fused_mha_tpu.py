@@ -224,6 +224,41 @@ def test_fold_residual():
         assert rel < 1e-2, rel
 
 
+def test_bias_row_fold():
+    """bias_row (the folded behavior-latent add): fused(x, bias_row=bl) must
+    equal fused(x + bl[:, None, :]) bit-for-bit in values and gradients,
+    with d(bias_row) = row-sum of dz."""
+    args = _params(b=2, n=300, e=32, h=2, seed=21)
+    x = args[0]
+    bl = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 32)) * 0.3, jnp.bfloat16
+    )
+    key = jax.random.key(9)
+    kw = dict(use_lsa=True, dropout_rate=0.3, deterministic=False, rng=key,
+              fold_out_dropout=True, fold_residual=True)
+
+    out_fold = fused_mha(x, *args[1:], **kw, bias_row=bl)
+    out_ref = fused_mha(x + bl[:, None, :], *args[1:], **kw)
+    assert jnp.array_equal(out_fold, out_ref)
+
+    def loss_fold(x, bl):
+        o = fused_mha(x, *args[1:], **kw, bias_row=bl)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(x, bl):
+        o = fused_mha(x + bl[:, None, :], *args[1:], **kw)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gx_f, gb_f = jax.grad(loss_fold, (0, 1))(x, bl)
+    gx_r, gb_r = jax.grad(loss_ref, (0, 1))(x, bl)
+    for a, b in ((gx_f, gx_r), (gb_f, gb_r)):
+        rel = float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+            / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-9)
+        )
+        assert rel < 1e-2, rel
+
+
 def test_model_auto_dispatch_uses_fused_kernel():
     """attention_impl='auto' + bf16 on TPU must lower the vit core through
     the fused kernel (regression guard: a silent fallback would cost ~40%

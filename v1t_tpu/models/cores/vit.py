@@ -240,6 +240,7 @@ class Attention(nn.Module):
         return_probs: bool = False,
         n_real: t.Optional[int] = None,
         fold_residual: bool = False,
+        bias_row: t.Optional[jax.Array] = None,
     ):
         b, n, _ = inputs.shape
         e, heads = self.emb_dim, self.num_heads
@@ -282,10 +283,12 @@ class Attention(nn.Module):
             and not return_probs
             and _fused_attention_eligible(dt, self.attention_impl, n)
         )
-        if (n_real is not None or fold_residual) and not use_fused:
+        if (
+            n_real is not None or fold_residual or bias_row is not None
+        ) and not use_fused:
             raise ValueError(
-                "pad-once (n_real) / fold_residual require the fused "
-                "attention path"
+                "pad-once (n_real) / fold_residual / bias_row require the "
+                "fused attention path"
             )
         if not use_fused:
             # composed paths normalize here; the fused kernel does it inside
@@ -350,6 +353,7 @@ class Attention(nn.Module):
                 n_real=n_real,
                 fold_out_dropout=True,
                 fold_residual=fold_residual,
+                bias_row=bias_row,
             )
             probs = None
         else:
@@ -503,6 +507,7 @@ class Transformer(nn.Module):
         # for `sublayer(x) + x` to be the whole block body)
         fold_res = pad_once and (self.drop_path_rate == 0.0 or not train)
         for i in range(self.num_blocks):
+            bias_row = None
             if self.behavior_mode in (2, 3, 4):
                 b_latent = BehaviorMLP(
                     behavior_mode=self.behavior_mode,
@@ -513,7 +518,14 @@ class Transformer(nn.Module):
                     name=f"block{i}_bmlp",
                 )(behaviors, mouse_id=mouse_id)
                 # added to every token including CLS (reference vit.py:356-359)
-                outputs = outputs + b_latent[:, None, :].astype(outputs.dtype)
+                if fold_res:
+                    # folded into the attention kernel: its sublayer input
+                    # becomes z = x + latent and the emitted residual is z
+                    bias_row = b_latent
+                else:
+                    outputs = outputs + b_latent[:, None, :].astype(
+                        outputs.dtype
+                    )
 
             # per-attention gradient checkpointing (reference vit.py:277-284)
             # — largely obsoleted by the O(N)-memory flash kernel, kept for
@@ -533,7 +545,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
                 name=f"block{i}_mha",
-            )(outputs, train, return_probs, n_real, fold_res)
+            )(outputs, train, return_probs, n_real, fold_res, bias_row)
             if return_probs:
                 mha_out, probs = mha_out
                 all_probs.append(probs)

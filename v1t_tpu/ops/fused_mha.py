@@ -121,7 +121,7 @@ def _layernorm(x32, gamma, beta, eps=1e-6):
 
 def _mha_fwd_kernel(
     seed_ref,
-    x_ref, g_ref, beta_ref, wqkv_ref, wp_ref, bp_ref, scale_ref,
+    x_ref, brow_ref, g_ref, beta_ref, wqkv_ref, wp_ref, bp_ref, scale_ref,
     out_ref, oh_ref, lse_ref,
     kv_scr, acc_scr, ln_scr,
     *, n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
@@ -131,10 +131,17 @@ def _mha_fwd_kernel(
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     block_q = oh_ref.shape[2]
 
+    def _z(rows=None):
+        # the sublayer input: x plus the folded per-batch bias row (the
+        # behavior latent), added in the storage dtype so it is bit-equal
+        # to the unfolded `x + b_latent[:, None, :]`
+        x = x_ref[0] if rows is None else x_ref[0, rows, :]
+        return x + brow_ref[0]
+
     @pl.when(jnp.logical_and(h == 0, qi == 0))
     def _compute_ln():
         ln, _, _ = _layernorm(
-            x_ref[0].astype(jnp.float32), g_ref[0], beta_ref[0]
+            _z().astype(jnp.float32), g_ref[0], beta_ref[0]
         )
         ln_scr[...] = ln.astype(ln_scr.dtype)
 
@@ -223,18 +230,18 @@ def _mha_fwd_kernel(
         val = jnp.where(keep, val / (1.0 - dropout_rate), 0.0)
     out_val = val.astype(out_ref.dtype)
     if fold_residual:
-        # emit dropout(proj(attention(ln(x)))) + x — the bf16 add matches
+        # emit dropout(proj(attention(ln(z)))) + z — the bf16 add matches
         # the XLA residual add's rounding (sum in fp32, one bf16 round)
-        out_val = out_val + x_ref[0, pl.ds(qi * block_q, block_q), :]
+        out_val = out_val + _z(pl.ds(qi * block_q, block_q))
     out_ref[0] = out_val
 
 
 def _mha_bwd_kernel(
     seed_ref,
-    x_ref, g_ref, beta_ref, wqkv_ref, wp_ref, scale_ref, dout_ref,
+    x_ref, brow_ref, g_ref, beta_ref, wqkv_ref, wp_ref, scale_ref, dout_ref,
     oh_ref, lse_ref,
     dx_ref, dg_ref, dbeta_ref, dwq_ref, dwk_ref, dwv_ref, dwp_ref,
-    dscale_ref, dbp_ref,
+    dscale_ref, dbp_ref, dbrow_ref,
     kv_scr, dkv_scr, dx_scr, ln_scr, dwq_scr, dwk_scr, dwv_scr, dwp_scr,
     dscale_scr, dbp_scr,
     *, n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
@@ -247,7 +254,8 @@ def _mha_bwd_kernel(
     @pl.when(jnp.logical_and(h == 0, qi == 0))
     def _init_per_batch():
         ln, _, _ = _layernorm(
-            x_ref[0].astype(jnp.float32), g_ref[0], beta_ref[0]
+            (x_ref[0] + brow_ref[0]).astype(jnp.float32),
+            g_ref[0], beta_ref[0],
         )
         ln_scr[...] = ln.astype(ln_scr.dtype)
         dx_scr[...] = jnp.zeros_like(dx_scr)
@@ -395,10 +403,13 @@ def _mha_bwd_kernel(
     @pl.when(jnp.logical_and(h == num_heads - 1, qi == nq - 1))
     def _write_dx():
         # dx_scr holds d(ln); apply the LayerNorm backward over the full
-        # batch row-band and emit dgamma/dbeta partials
+        # batch row-band and emit dgamma/dbeta partials. The LN input is
+        # z = x + bias_row; d/dx == d/dz, and the bias-row gradient is the
+        # row sum of dz.
         gamma = g_ref[0]
         _, xhat, inv = _layernorm(
-            x_ref[0].astype(jnp.float32), gamma, beta_ref[0]
+            (x_ref[0] + brow_ref[0]).astype(jnp.float32),
+            gamma, beta_ref[0],
         )
         dln = dx_scr[...]
         dg_ref[0] = jnp.sum(dln * xhat, axis=0, keepdims=True)
@@ -412,9 +423,10 @@ def _mha_bwd_kernel(
         )
         if fold_residual:
             # residual branch: the RAW (pre output-dropout-mask) cotangent
-            # flows straight through the y = f(x) + x skip. Whole-sequence
+            # flows straight through the y = f(z) + z skip. Whole-sequence
             # mode only (nq == 1): this program's dout block is the band.
             dx = dx + dout_raw.astype(jnp.float32)
+        dbrow_ref[0] = jnp.sum(dx, axis=0, keepdims=True)
         dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
@@ -428,7 +440,7 @@ def _pack_static(n_real, num_heads, nq, nk, block_k, use_lsa, dropout_rate,
     )
 
 
-def _mha_forward(x_pad, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
+def _mha_forward(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
     b, npad, e = x_pad.shape
     d = wqkv.shape[-1]
     h = cfg["num_heads"]
@@ -442,6 +454,7 @@ def _mha_forward(x_pad, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, npad, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
                 pl.BlockSpec((1, e), lambda bi, hi, qi, *_: (0, 0)),  # gamma
                 pl.BlockSpec((1, e), lambda bi, hi, qi, *_: (0, 0)),  # beta
                 pl.BlockSpec((3, h, e, d), lambda bi, hi, qi, *_: (0, 0, 0, 0)),
@@ -475,25 +488,26 @@ def _mha_forward(x_pad, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
             # temporaries in VMEM — past the default 16 MB scoped budget
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(seed, x_pad, gamma, beta, wqkv, wp, bp, scale)
+    )(seed, x_pad, brow, gamma, beta, wqkv, wp, bp, scale)
     return out, oh, lse
 
 
-def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
-                  *, cfg):
+def _mha_backward(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse,
+                  dout, *, cfg):
     b, npad, e = x_pad.shape
     d = wqkv.shape[-1]
     h = cfg["num_heads"]
     nq = cfg["nq"]
     bq = npad // nq
     grid = (b, h, nq)
-    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp = pl.pallas_call(
+    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp, dbrow = pl.pallas_call(
         functools.partial(_mha_bwd_kernel, **cfg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, npad, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
                 pl.BlockSpec((1, e), lambda bi, hi, qi, *_: (0, 0)),  # gamma
                 pl.BlockSpec((1, e), lambda bi, hi, qi, *_: (0, 0)),  # beta
                 pl.BlockSpec((3, h, e, d), lambda bi, hi, qi, *_: (0, 0, 0, 0)),
@@ -519,6 +533,7 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
                     (1, 1, 8, 128), lambda bi, hi, qi, *_: (bi, hi, 0, 0)
                 ),
                 pl.BlockSpec((1, 1, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, qi, *_: (bi, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, npad, d), x_pad.dtype),     # k, v
@@ -543,6 +558,7 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
             jax.ShapeDtypeStruct((b, h, d, e), jnp.float32),
             jax.ShapeDtypeStruct((b, h, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -550,32 +566,33 @@ def _mha_backward(x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse, dout,
             # over the default 16 MB scoped-vmem budget; v5e has headroom
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(seed, x_pad, gamma, beta, wqkv, wp, scale, dout, oh, lse)
-    return dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp
+    )(seed, x_pad, brow, gamma, beta, wqkv, wp, scale, dout, oh, lse)
+    return dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp, dbrow
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _mha_core(static_cfg, x_pad, gamma, beta, wqkv, wp, bp, scale, seed):
+def _mha_core(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed):
     cfg = _pack_static(*static_cfg)
     out, _, _ = _mha_forward(
-        x_pad, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
+        x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
     )
     return out
 
 
-def _mha_core_fwd(static_cfg, x_pad, gamma, beta, wqkv, wp, bp, scale, seed):
+def _mha_core_fwd(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale,
+                  seed):
     cfg = _pack_static(*static_cfg)
     out, oh, lse = _mha_forward(
-        x_pad, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
+        x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
     )
-    return out, (x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse)
+    return out, (x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse)
 
 
 def _mha_core_bwd(static_cfg, residuals, dout):
     cfg = _pack_static(*static_cfg)
-    x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse = residuals
-    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp_p = _mha_backward(
-        x_pad, gamma, beta, wqkv, wp, scale, seed, oh, lse,
+    x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse = residuals
+    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp_p, dbrow = _mha_backward(
+        x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse,
         dout.astype(x_pad.dtype), cfg=cfg,
     )
     dwqkv = jnp.stack(
@@ -589,6 +606,7 @@ def _mha_core_bwd(static_cfg, residuals, dout):
     dscale_total = jnp.sum(dscale[:, :, 0, 0], axis=0)[None]  # (1, H)
     return (
         dx,
+        dbrow.astype(brow.dtype),
         jnp.sum(dg, axis=0),
         jnp.sum(dbeta, axis=0),
         dwqkv.astype(x_pad.dtype),
@@ -618,6 +636,7 @@ def fused_mha(
     n_real: t.Optional[int] = None,
     fold_out_dropout: bool = False,
     fold_residual: bool = False,
+    bias_row: t.Optional[jax.Array] = None,
 ) -> jax.Array:
     """The full pre-LN attention sublayer as one fused kernel.
 
@@ -642,6 +661,11 @@ def fused_mha(
         fold_residual: emit ``sublayer(x) + x`` (and route the skip
             cotangent in the backward) — the caller must then NOT add the
             residual. Requires whole-sequence mode (one q block).
+        bias_row: (B, E) per-batch row added to every token of x IN-KERNEL
+            (the per-block behavior latent, reference vit.py:356-359) — the
+            sublayer input becomes z = x + bias_row[:, None, :] and, under
+            ``fold_residual``, the residual emitted is z. Gradient = row
+            sum of dz.
     Returns:
         (B, N, E): projection(concat_heads(attention(layernorm(x)))) + bias.
     """
@@ -677,8 +701,12 @@ def fused_mha(
     scale = jnp.broadcast_to(
         jnp.asarray(scale, jnp.float32).reshape(-1), (num_heads,)
     )
+    if bias_row is None:
+        brow = jnp.zeros((b, 1, e), x_pad.dtype)
+    else:
+        brow = bias_row.reshape(b, 1, e).astype(x_pad.dtype)
     out = _mha_core(
-        static_cfg, x_pad,
+        static_cfg, x_pad, brow,
         gamma.reshape(1, e).astype(jnp.float32),
         beta.reshape(1, e).astype(jnp.float32),
         wqkv, wp, bp.reshape(1, e), scale[None], seed,
