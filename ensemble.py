@@ -63,7 +63,7 @@ def fit_ensemble(config, trainer, scheduler, train_ds, val_ds, test_ds):
         if early_stop:
             break
 
-    _, trainer.params, _ = scheduler.restore(trainer.params)
+    training.restore_best(scheduler, trainer)
     training.evaluate(
         config, trainer, ds=test_ds, epoch=epoch, summary=summary, mode=2,
         print_result=True, save_result=config.output_dir,
@@ -104,7 +104,7 @@ def main(config: Config, saved_models: dict):
         if config.train:
             fit_ensemble(config, trainer, scheduler, train_ds, val_ds, test_ds)
         else:
-            _, trainer.params, _ = scheduler.restore(trainer.params)
+            training.restore_best(scheduler, trainer)
     else:
         val_result = training.validate(trainer, ds=val_ds, epoch=0)
         if config.verbose:

@@ -150,6 +150,38 @@ def test_scheduler_state_machine(tmp_path):
     assert not stop and sched2.num_reduce == 0
 
 
+def test_restore_best_reloads_model_state(tmp_path):
+    """The final test evaluation must run with the BEST epoch's BatchNorm
+    statistics, not the last epoch's — restore_best reloads model_state
+    alongside the params (reference scheduler.py:122-136 restores the full
+    state_dict, batch stats included)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from v1t_tpu import optim as vopt
+
+    cfg = Config(output_dir=str(tmp_path / "bn"), verbose=0)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    params = {"core": {"w": jnp.ones(3)}}
+    tx, opt_state = vopt.build_optimizer(cfg, params)
+    sched = Scheduler(cfg, mode="max")
+
+    best_stats = {"batch_stats": {"core": {"mean": jnp.full(4, 2.0)}}}
+    sched.step(0.5, 1, params, opt_state, model_state=best_stats)
+
+    # later (worse) epochs mutate both params and batch stats
+    trainer = types.SimpleNamespace(
+        params={"core": {"w": jnp.full(3, 9.0)}},
+        model_state={"batch_stats": {"core": {"mean": jnp.full(4, 7.0)}}},
+    )
+    training.restore_best(sched, trainer)
+    np.testing.assert_allclose(np.asarray(trainer.params["core"]["w"]), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(trainer.model_state["batch_stats"]["core"]["mean"]), 2.0
+    )
+
+
 def test_checkpoint_resume(data_dir, tmp_path):
     """Restoring {params, optimizer, scheduler} must resume training exactly
     where it stopped (reference scheduler.py:104-144)."""

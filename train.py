@@ -196,7 +196,7 @@ def main(config: Config, wandb_sweep: bool = False):
         if early_stop:
             break
 
-    _, trainer.params, _ = scheduler.restore(trainer.params)
+    training.restore_best(scheduler, trainer)
     eval_result = training.evaluate(
         config,
         trainer,

@@ -336,6 +336,17 @@ class Trainer:
         return np.concatenate(outs)
 
 
+def restore_best(scheduler, trainer: Trainer) -> None:
+    """Reload the best checkpoint into the trainer before the final test
+    evaluation — parameters AND non-parameter state (BatchNorm running
+    statistics for the stacked2d/stn cores), matching the reference's full
+    state_dict restore (reference scheduler.py:122-136). Restoring params
+    alone would evaluate best-epoch weights against last-epoch batch_stats."""
+    _, trainer.params, _, trainer.model_state = scheduler.restore(
+        trainer.params, model_state=trainer.model_state
+    )
+
+
 def compute_metrics(y_true: np.ndarray, y_pred: np.ndarray) -> dict:
     """Per-epoch validation metrics (reference train.py:28-39)."""
     sq = np.sum(np.square(y_true - y_pred), axis=-1)
