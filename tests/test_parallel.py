@@ -88,6 +88,75 @@ def test_dp_batch_sharding_layout():
         mesh.shard_batch({"x": np.zeros((3, 4), np.float32)})  # 3 % 8 != 0
 
 
+def test_call_kernel_utility():
+    """The batch-axis kernel wrapper (parallel/kernel_sharding.py) must (a)
+    be a no-op without an ambient mesh, (b) shard batched operands / replicate
+    the rest with identical results, and (c) offset the dropout seed per
+    shard."""
+    import jax.numpy as jnp
+
+    from v1t_tpu.parallel import kernel_sharding as ks
+
+    def core(static, x, w, seed):
+        # batch-parallel toy kernel: per-row matmul + seed-dependent shift
+        return x @ w + static * seed.astype(x.dtype)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    direct = core(2.0, x, w, seed)
+    assert ks.data_mesh() is None
+    no_mesh = ks.call_kernel(core, 2.0, (x, w, seed), batched=(0,), seed_index=2)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(no_mesh))
+
+    mesh = DataParallel.create().mesh
+    with ks.activate(mesh, "data"):
+        assert ks.data_mesh() is not None
+        with ks.suspend():
+            assert ks.data_mesh() is None  # masked inside shard_map bodies
+        sharded = ks.call_kernel(
+            core, 2.0, (x, w, seed), batched=(0,), seed_index=2
+        )
+        # row i ran on shard i (batch 8 over 8 devices) with seed offset
+        # i * stride — reconstruct the expectation exactly
+        expected = np.asarray(x @ w) + 2.0 * np.float32(
+            np.arange(8, dtype=np.int32) * np.int32(ks._SEED_STRIDE)
+        ).reshape(8, 1)
+        np.testing.assert_allclose(np.asarray(sharded), expected, rtol=1e-6)
+
+        with pytest.raises(ValueError, match="not divisible"):
+            ks.call_kernel(core, 2.0, (x[:3], w, seed), batched=(0,))
+
+
+def test_dp_step_hlo_has_no_batch_allgather():
+    """The compiled DP train step must keep activations batch-sharded: the
+    gradient all-reduce is expected, a full-batch all-gather is the failure
+    mode this layer exists to prevent (VERDICT round 2, weak #2)."""
+    mesh = DataParallel.create()
+    _, trainer = _setup(mesh=mesh)
+    batch = _batch()
+    from v1t_tpu.training import pad_batch
+
+    padded, mask = pad_batch(batch, 16)
+    arrays, mask_dev = trainer._device_batch(padded, mask)
+    import jax as _jax
+
+    rng = _jax.random.key(0)
+    with trainer._kernel_mesh():
+        lowered = trainer._get_grad_fn("A").lower(
+            trainer.params, trainer.model_state, arrays, mask_dev, rng,
+            np.float32(16), np.float32(1.0),
+        )
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "gradient all-reduce missing from DP step"
+    assert "all-gather" not in hlo, (
+        "DP train step all-gathers activations — the batch sharding is "
+        "being destroyed instead of parallelized"
+    )
+
+
 def test_dp_validation_and_predict():
     mesh = DataParallel.create()
     _, trainer = _setup(mesh=mesh)

@@ -53,14 +53,18 @@ Dtype = t.Any
 FUSED_MAX_N = 4096
 
 
-def _fused_attention_eligible(dtype, attention_impl: str, n: int) -> bool:
+def _fused_attention_eligible(
+    dtype, attention_impl: str, n: int, backend: t.Optional[str] = None
+) -> bool:
     """Single source of truth for fused attention-sublayer gating, shared by
     the Transformer's pad-once decision and Attention's dispatch so the two
-    cannot drift (pad-once REQUIRES the fused path downstream)."""
+    cannot drift (pad-once REQUIRES the fused path downstream). ``backend``
+    overrides the live backend so CPU-mesh dry runs can assert the fused
+    path WOULD engage on TPU at a given config."""
     return (
         attention_impl in ("auto", "pallas")
         and dtype == jnp.bfloat16
-        and jax.default_backend() == "tpu"
+        and (backend or jax.default_backend()) == "tpu"
         and n <= FUSED_MAX_N
     )
 

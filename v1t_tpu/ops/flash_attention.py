@@ -835,5 +835,12 @@ def flash_attention(
 
     static_cfg = (n, bool(use_lsa), float(dropout_rate), bool(deterministic),
                   block_q, block_k)
-    out = _flash_core(static_cfg, qp, kp, vp, seed)
+    from v1t_tpu.parallel.kernel_sharding import call_kernel
+
+    # qp/kp/vp lead with B*H — divisible by the mesh's batch axis whenever B
+    # is, so the (b h) n d layout shards over "data" without a reshape
+    out = call_kernel(
+        _flash_core, static_cfg, (qp, kp, vp, seed), batched=(0, 1, 2),
+        seed_index=3,
+    )
     return out[:, :n, :d].reshape(b, h, n, d)

@@ -705,10 +705,18 @@ def fused_mha(
         brow = jnp.zeros((b, 1, e), x_pad.dtype)
     else:
         brow = bias_row.reshape(b, 1, e).astype(x_pad.dtype)
-    out = _mha_core(
-        static_cfg, x_pad, brow,
-        gamma.reshape(1, e).astype(jnp.float32),
-        beta.reshape(1, e).astype(jnp.float32),
-        wqkv, wp, bp.reshape(1, e), scale[None], seed,
+    from v1t_tpu.parallel.kernel_sharding import call_kernel
+
+    out = call_kernel(
+        _mha_core,
+        static_cfg,
+        (
+            x_pad, brow,
+            gamma.reshape(1, e).astype(jnp.float32),
+            beta.reshape(1, e).astype(jnp.float32),
+            wqkv, wp, bp.reshape(1, e), scale[None], seed,
+        ),
+        batched=(0, 1),
+        seed_index=8,
     )
     return out if n_real is not None else out[:, :n, :]

@@ -386,12 +386,20 @@ def fused_mlp(
     static_cfg = (
         float(dropout_rate), bool(deterministic), int(n), bool(fold_residual)
     )
-    out = _mlp_core(
-        static_cfg, x_pad,
-        gamma.reshape(1, e).astype(jnp.float32),
-        beta.reshape(1, e).astype(jnp.float32),
-        w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
-        w2.astype(x.dtype), b2.reshape(1, e).astype(jnp.float32),
-        seed,
+    from v1t_tpu.parallel.kernel_sharding import call_kernel
+
+    out = call_kernel(
+        _mlp_core,
+        static_cfg,
+        (
+            x_pad,
+            gamma.reshape(1, e).astype(jnp.float32),
+            beta.reshape(1, e).astype(jnp.float32),
+            w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
+            w2.astype(x.dtype), b2.reshape(1, e).astype(jnp.float32),
+            seed,
+        ),
+        batched=(0,),
+        seed_index=7,
     )
     return out if n_real is not None else out[:, :n, :]

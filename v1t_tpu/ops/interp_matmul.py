@@ -240,7 +240,11 @@ def interp_matmul_sample_cm(
     flat_pad = jnp.pad(flat_cm, ((0, 0), (0, 0), (0, tp - t)))
 
     static = (width, flat_cm.dtype)
-    out = _interp_core(static, flat_pad, xs, ys)
+    from v1t_tpu.parallel.kernel_sharding import call_kernel
+
+    out = call_kernel(
+        _interp_core, static, (flat_pad, xs, ys), batched=(0, 1, 2)
+    )
     return out[:, :, :p]
 
 

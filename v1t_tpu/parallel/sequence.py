@@ -94,23 +94,26 @@ def allgather_attention(
     n_local = q.shape[2] // n_shards
 
     def body(q_s, k_s, v_s):
-        idx = jax.lax.axis_index(axis)
-        key = None
-        if rng is not None and dropout_rate > 0.0:
-            key = jax.random.fold_in(rng, idx)
-            if batch_axis is not None:
-                key = jax.random.fold_in(
-                    key, jax.lax.axis_index(batch_axis)
-                )
-        k_full = jax.lax.all_gather(k_s, axis, axis=2, tiled=True)
-        v_full = jax.lax.all_gather(v_s, axis, axis=2, tiled=True)
-        acc, m, l = _local_attention(
-            q_s, k_full, v_full, scale, use_lsa,
-            q_offset=idx * n_local, k_offset=0, n_real=n_real,
-            dropout_rate=dropout_rate, dropout_key=key,
-        )
-        l = jnp.where(l == 0.0, 1.0, l)
-        return (acc / l).astype(q_s.dtype)
+        from v1t_tpu.parallel.kernel_sharding import suspend
+
+        with suspend():  # already inside a shard_map — no nested wrapping
+            idx = jax.lax.axis_index(axis)
+            key = None
+            if rng is not None and dropout_rate > 0.0:
+                key = jax.random.fold_in(rng, idx)
+                if batch_axis is not None:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(batch_axis)
+                    )
+            k_full = jax.lax.all_gather(k_s, axis, axis=2, tiled=True)
+            v_full = jax.lax.all_gather(v_s, axis, axis=2, tiled=True)
+            acc, m, l = _local_attention(
+                q_s, k_full, v_full, scale, use_lsa,
+                q_offset=idx * n_local, k_offset=0, n_real=n_real,
+                dropout_rate=dropout_rate, dropout_key=key,
+            )
+            l = jnp.where(l == 0.0, 1.0, l)
+            return (acc / l).astype(q_s.dtype)
 
     spec = P(batch_axis, None, axis, None)
     return shard_map(
@@ -139,6 +142,12 @@ def ring_attention(
     n_local = q.shape[2] // n_shards
 
     def body(q_s, k_s, v_s):
+        from v1t_tpu.parallel.kernel_sharding import suspend
+
+        with suspend():  # already inside a shard_map — no nested wrapping
+            return _ring_body(q_s, k_s, v_s)
+
+    def _ring_body(q_s, k_s, v_s):
         idx = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 

@@ -23,6 +23,7 @@ TPU-first specifics:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import typing as t
 from functools import partial
@@ -233,6 +234,17 @@ class Trainer:
             self._predict_fns[mouse_id] = jax.jit(step)
         return self._predict_fns[mouse_id]
 
+    def _kernel_mesh(self):
+        """Ambient data-mesh registration for the Pallas kernel call sites
+        (v1t_tpu/parallel/kernel_sharding.py) — wrapped around every jitted
+        step CALL because the registry is read at trace time, and scoped so
+        a meshed and an unmeshed Trainer can coexist in one process."""
+        if self.mesh is not None:
+            from v1t_tpu.parallel import kernel_sharding
+
+            return kernel_sharding.activate(self.mesh.mesh, "data")
+        return contextlib.nullcontext()
+
     def _device_batch(self, batch, mask):
         arrays = {
             "image": batch["image"],
@@ -269,10 +281,11 @@ class Trainer:
             arrays, mask = self._device_batch(padded, mask)
             self._step_count += 1
             rng = jax.random.fold_in(self.base_rng, self._step_count)
-            grads, self.model_state, metrics = self._get_grad_fn(mouse_id)(
-                self.params, self.model_state, arrays, mask, rng,
-                np.float32(true_total), reg_weight,
-            )
+            with self._kernel_mesh():
+                grads, self.model_state, metrics = self._get_grad_fn(mouse_id)(
+                    self.params, self.model_state, arrays, mask, rng,
+                    np.float32(true_total), reg_weight,
+                )
             acc_grads = (
                 grads
                 if acc_grads is None
@@ -303,10 +316,11 @@ class Trainer:
             n = len(micro_batch["image"])
             padded, mask = pad_batch(micro_batch, micro)
             arrays, mask_dev = self._device_batch(padded, mask)
-            metrics, y_pred = self._get_eval_fn(mouse_id)(
-                self.params, self.model_state, arrays, mask_dev,
-                np.float32(true_total), np.float32(n / true_total),
-            )
+            with self._kernel_mesh():
+                metrics, y_pred = self._get_eval_fn(mouse_id)(
+                    self.params, self.model_state, arrays, mask_dev,
+                    np.float32(true_total), np.float32(n / true_total),
+                )
             metrics_sum = (
                 metrics
                 if metrics_sum is None
@@ -329,9 +343,10 @@ class Trainer:
             n = len(micro_batch["image"])
             padded, _ = pad_batch(micro_batch, micro)
             arrays, _ = self._device_batch(padded, np.ones(micro, np.float32))
-            y_pred = self._get_predict_fn(mouse_id)(
-                self.params, self.model_state, arrays
-            )
+            with self._kernel_mesh():
+                y_pred = self._get_predict_fn(mouse_id)(
+                    self.params, self.model_state, arrays
+                )
             outs.append(np.asarray(y_pred)[:n])
         return np.concatenate(outs)
 
