@@ -44,7 +44,7 @@ def _composed(x, gamma, beta, wqkv, wp, bp, scale, use_lsa):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
-    x = (x32 - mean) * jax.lax.rsqrt(var + 1e-6) * gamma + beta
+    x = (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
     q = jnp.einsum("bne,hed->bhnd", x, wqkv[0].astype(jnp.float32))
     k = jnp.einsum("bne,hed->bhnd", x, wqkv[1].astype(jnp.float32))
     v = jnp.einsum("bne,hed->bhnd", x, wqkv[2].astype(jnp.float32))

@@ -37,7 +37,7 @@ def _composed(x, gamma, beta, w1, b1, w2, b2):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
-    ln = (x32 - mean) * jax.lax.rsqrt(var + 1e-6) * gamma + beta
+    ln = (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
     h = ln @ w1.astype(jnp.float32) + b1
     return jax.nn.gelu(h, approximate=False) @ w2.astype(jnp.float32) + b2
 

@@ -135,7 +135,7 @@ class CCTAttention(nn.Module):
         assert inner_dim % self.num_heads == 0
         head_dim = inner_dim // self.num_heads
 
-        x = nn.LayerNorm(name="layer_norm")(inputs)
+        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(inputs)
         qkv = nn.Dense(
             features=inner_dim * 3,
             use_bias=False,

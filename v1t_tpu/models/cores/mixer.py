@@ -28,7 +28,7 @@ class MixerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         # token mixing
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         y = jnp.swapaxes(y, 1, 2)  # (B, C, P)
         y = nn.Dense(self.token_dim, dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
@@ -37,7 +37,7 @@ class MixerBlock(nn.Module):
         y = jnp.swapaxes(y, 1, 2)
         x = x + y
         # channel mixing
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         y = nn.Dense(self.channel_dim, dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -100,7 +100,7 @@ class MixerCore(nn.Module):
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, train=train)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         b = x.shape[0]
         h, w = find_shape(self.num_patches)
         return jnp.transpose(x.reshape(b, h, w, self.emb_dim), (0, 3, 1, 2))

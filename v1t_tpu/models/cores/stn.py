@@ -123,7 +123,10 @@ class SpatialTransformerCore(nn.Module):
         x = _torch_conv(self.num_filters, (9, 9), c * 81, "block1_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, name="block1_bn")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        # Dropout2d: drop whole channels (reference stn.py uses nn.Dropout2d)
+        x = nn.Dropout(
+            rate=self.dropout, deterministic=not train, broadcast_dims=(1, 2)
+        )(x)
         for i in range(1, self.num_layers):
             y = _torch_conv(
                 self.num_filters, (3, 3), self.num_filters * 9,
@@ -132,7 +135,10 @@ class SpatialTransformerCore(nn.Module):
             y = nn.BatchNorm(use_running_average=not train, name=f"block{i + 1}_bn")(y)
             y = nn.gelu(y, approximate=False)
             if i < self.num_layers - 1:
-                y = nn.Dropout(rate=self.dropout, deterministic=not train)(y)
+                y = nn.Dropout(
+                    rate=self.dropout, deterministic=not train,
+                    broadcast_dims=(1, 2),
+                )(y)
             x = y + x  # residual add (stn.py:138)
         return jnp.transpose(x, (0, 3, 1, 2))
 

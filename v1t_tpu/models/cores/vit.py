@@ -163,19 +163,19 @@ class Image2Patches(nn.Module):
         elif self.patch_mode == 2:
             shifted = patch_shift(inputs, p)
             patches = unfold_patches(shifted, p, s)
-            patches = nn.LayerNorm(name="patch_norm")(patches)
+            patches = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(patches)
             patches = _torch_dense(
                 self.emb_dim, fan_in=5 * c_in * p * p, dtype=self.dtype,
                 name="projection",
             )(patches)
         elif self.patch_mode == 3:
             patches = unfold_patches(inputs, p, s)
-            patches = nn.LayerNorm(name="pre_norm")(patches)
+            patches = nn.LayerNorm(epsilon=1e-5, name="pre_norm")(patches)
             patches = _torch_dense(
                 self.emb_dim, fan_in=c_in * p * p, dtype=self.dtype,
                 name="projection",
             )(patches)
-            patches = nn.LayerNorm(name="post_norm")(patches)
+            patches = nn.LayerNorm(epsilon=1e-5, name="post_norm")(patches)
         else:
             raise NotImplementedError(f"patch_mode {self.patch_mode} not implemented.")
 
@@ -299,7 +299,7 @@ class Attention(nn.Module):
             x32 = inputs.astype(jnp.float32)
             mean = jnp.mean(x32, axis=-1, keepdims=True)
             var = jnp.var(x32, axis=-1, keepdims=True)
-            x = (x32 - mean) * jax.lax.rsqrt(var + 1e-6) * gamma + ln_beta
+            x = (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + ln_beta
         if seq_ctx is not None and not return_probs:
             # context parallelism (SURVEY §5.7): shard tokens over the "seq"
             # mesh axis; pad N to the shard multiple (padded keys masked via
@@ -444,7 +444,7 @@ class MLP(nn.Module):
         # composed path (fp32 / CPU): identical math through XLA
         mean = jnp.mean(inputs.astype(jnp.float32), axis=-1, keepdims=True)
         var = jnp.var(inputs.astype(jnp.float32), axis=-1, keepdims=True)
-        x = (inputs.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-6)
+        x = (inputs.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
         x = x * gamma + beta
         if dt is not None:
             x = x.astype(dt)

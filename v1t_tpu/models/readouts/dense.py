@@ -18,7 +18,9 @@ from v1t_tpu.ops.common import torch_default_bias_init, torch_default_kernel_ini
 class DenseReadout(nn.Module):
     input_shape: t.Tuple[int, int, int]
     neuron_card: NeuronCard
-    hidden_dim: int = 512
+    # hidden width = num_neurons // 2, matching the reference's
+    # out_features // 2 (dense.py:27-37); overridable for experiments
+    hidden_dim: t.Optional[int] = None
     dropout: float = 0.25
     dtype: t.Any = None
 
@@ -26,13 +28,17 @@ class DenseReadout(nn.Module):
     def num_neurons(self) -> int:
         return self.neuron_card.num_neurons
 
+    @property
+    def _hidden(self) -> int:
+        return self.hidden_dim or self.num_neurons // 2
+
     @nn.compact
     def __call__(self, inputs, shifts=None, train=False, sample=None):
         b = inputs.shape[0]
         x = inputs.reshape(b, -1)
         # torch default Linear init (reference dense.py sets none)
         x = nn.Dense(
-            self.hidden_dim, dtype=self.dtype,
+            self._hidden, dtype=self.dtype,
             kernel_init=torch_default_kernel_init,
             bias_init=torch_default_bias_init(x.shape[-1]),
             name="fc1",
@@ -42,7 +48,7 @@ class DenseReadout(nn.Module):
         x = nn.Dense(
             self.num_neurons, dtype=self.dtype,
             kernel_init=torch_default_kernel_init,
-            bias_init=torch_default_bias_init(self.hidden_dim),
+            bias_init=torch_default_bias_init(self._hidden),
             name="fc2",
         )(x)
         return x

@@ -60,6 +60,11 @@ BLOCK_K = 896
 # npad cap (tuned on v5e: 2048^2 fp32 = 16 MB per temporary).
 WHOLE_SEQ_MAX = 2048
 
+# k-block override captured once at import — see _choose_blocks
+import os as _os  # noqa: E402
+
+_FUSED_BLOCK_K_OVERRIDE = int(_os.environ.get("V1T_FUSED_BLOCK_K", "0"))
+
 
 def _choose_blocks(n: int) -> t.Tuple[int, int, int]:
     """Returns (npad, block_q, block_k) for sequence length n.
@@ -67,12 +72,12 @@ def _choose_blocks(n: int) -> t.Tuple[int, int, int]:
     ``V1T_FUSED_BLOCK_K`` overrides the k-block size in whole-sequence mode
     (must divide npad; forward and backward share the tiling, keeping the
     regenerated dropout masks identical) — an experimentation knob for
-    k-chunk pipelining measurements."""
-    import os
-
+    k-chunk pipelining measurements. Read ONCE at import (module constant
+    _FUSED_BLOCK_K_OVERRIDE) so the traced kernel config cannot diverge from
+    what save_args records in args.yaml within a process."""
     npad128 = _round_up(n, 128)
     if npad128 <= WHOLE_SEQ_MAX:
-        bk = int(os.environ.get("V1T_FUSED_BLOCK_K", "0"))
+        bk = _FUSED_BLOCK_K_OVERRIDE
         if bk:
             # loud on invalid values: save_args records the env var as the
             # effective kernel config, so a silent fallback would put a
@@ -111,7 +116,7 @@ def _key_pad_bias(kj, block_k: int, n_real: int):
     return jnp.where(col < n_real, 0.0, MASK_VALUE)
 
 
-def _layernorm(x32, gamma, beta, eps=1e-6):
+def _layernorm(x32, gamma, beta, eps=1e-5):  # torch nn.LayerNorm default
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
@@ -212,9 +217,11 @@ def _mha_fwd_kernel(
     def _add_acc():
         acc_scr[row, :] += proj
 
-    # zero the padded query rows: keeps the residual stream's pad rows
-    # exactly zero in pad-once (whole-transformer padded) mode, so values
-    # there can never grow or NaN across blocks
+    # zero the padded query rows BEFORE the folded residual add: under
+    # fold_residual with a bias_row, the emitted pad rows then carry only
+    # the (tanh-bounded) behavior-latent rows accumulated across blocks —
+    # not exact zeros, but bounded, masked as keys, and with exactly-zero
+    # cotangents (the Transformer slices them off)
     row_ids = (
         jax.lax.broadcasted_iota(jnp.int32, (block_q, out_ref.shape[-1]), 0)
         + qi * block_q

@@ -53,7 +53,7 @@ def _keep_mask(seed, uid, shape, keep_prob):
     return bits < jnp.uint32(keep_prob * 4294967295.0)
 
 
-def _layernorm(x32, gamma, beta, eps=1e-6):
+def _layernorm(x32, gamma, beta, eps=1e-5):  # torch nn.LayerNorm default
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
