@@ -616,7 +616,8 @@ def _flash_backward_merged(q, k, v, seed, lse, do, delta, *, n_real, use_lsa,
 
 
 def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
-                    dropout_rate, deterministic, block_q, block_k):
+                    dropout_rate, deterministic, block_q, block_k,
+                    dlse=None):
     BLOCK_Q, BLOCK_K = block_q, block_k
     bhn, nq_pad, d_pad = q.shape
     nk_pad = k.shape[1]
@@ -624,6 +625,12 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
     delta = jnp.sum(
         out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
     )  # (BH, N)
+    if dlse is not None:
+        # cotangent of the returned LSE (flash_attention_with_lse): since
+        # d lse_i / d s_ij = p_ij and every kernel computes
+        # ds = p * (dp - delta), folding -dlse into delta adds the exact
+        # p * dlse term — no kernel changes needed
+        delta = delta - dlse.astype(jnp.float32)
     delta = jnp.broadcast_to(delta[:, None, :], (bhn, 8, nq_pad))
 
     # whole-K backward needs double-buffered full-length dk/dv outputs in
@@ -835,7 +842,7 @@ def flash_attention(
 
     static_cfg = (n, bool(use_lsa), float(dropout_rate), bool(deterministic),
                   block_q, block_k)
-    from v1t_tpu.parallel.kernel_sharding import call_kernel
+    from v1t_tpu.parallel.kernel_sharding import call_kernel  # noqa: E402
 
     # qp/kp/vp lead with B*H — divisible by the mesh's batch axis whenever B
     # is, so the (b h) n d layout shards over "data" without a reshape
@@ -844,3 +851,99 @@ def flash_attention(
         seed_index=3,
     )
     return out[:, :n, :d].reshape(b, h, n, d)
+
+
+# --- rectangular flash with LSE export (sequence parallelism) --------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_lse_core(static_cfg, q, k, v, seed):
+    n_real, dropout_rate, deterministic, block_q, block_k = static_cfg
+    out, lse = _flash_forward(
+        q, k, v, seed,
+        n_real=n_real, use_lsa=False,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+        block_q=block_q, block_k=block_k,
+    )
+    return out, lse[:, 0, :]
+
+
+def _flash_lse_core_fwd(static_cfg, q, k, v, seed):
+    n_real, dropout_rate, deterministic, block_q, block_k = static_cfg
+    out, lse = _flash_forward(
+        q, k, v, seed,
+        n_real=n_real, use_lsa=False,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+        block_q=block_q, block_k=block_k,
+    )
+    return (out, lse[:, 0, :]), (q, k, v, seed, out, lse)
+
+
+def _flash_lse_core_bwd(static_cfg, residuals, cts):
+    n_real, dropout_rate, deterministic, block_q, block_k = static_cfg
+    q, k, v, seed, out, lse = residuals
+    do, dlse = cts
+    dq, dk, dv = _flash_backward(
+        q, k, v, seed, out, lse, do,
+        n_real=n_real, use_lsa=False,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+        block_q=block_q, block_k=block_k, dlse=dlse,
+    )
+    return dq, dk, dv, None
+
+
+_flash_lse_core.defvjp(_flash_lse_core_fwd, _flash_lse_core_bwd)
+
+
+def flash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    n_real_k: t.Optional[int] = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    rng: t.Optional[jax.Array] = None,
+):
+    """RECTANGULAR blockwise attention returning ``(out, lse)``.
+
+    q: (B, H, Nq, D) against k/v: (B, H, Nk, D) — the sequence-parallel
+    building block (v1t_tpu/parallel/sequence.py): each token shard attends
+    its local queries against gathered/rotating key blocks, and partial
+    results combine EXACTLY via the returned log-sum-exp
+    (``out_tot = sum_b out_b * exp(lse_b - logaddexp_b lse_b)``). The LSE
+    cotangent folds into the flash backward's delta, so the combination is
+    fully differentiable.
+
+    The softmax scale must be pre-folded into q. LSA is not supported (the
+    in-kernel diagonal mask assumes q and k share global indexing — the SP
+    caller falls back to the einsum path under LSA). ``n_real_k`` masks keys
+    past the true length; q padding rows are sliced off here.
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    n_real = int(n_real_k) if n_real_k is not None else nk
+    block_q = pick_blocks(nq)[0]
+    block_k = pick_blocks(nk)[1]
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_k)
+    d_pad = _round_up(d, 128)
+
+    def prep(x, n, n_pad):
+        x = x.reshape(b * h, n, d)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+
+    qp = prep(q, nq, nq_pad)
+    kp, vp = prep(k, nk, nk_pad), prep(v, nk, nk_pad)
+    if rng is None or deterministic or dropout_rate == 0.0:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    static_cfg = (
+        n_real, float(dropout_rate), bool(deterministic), block_q, block_k
+    )
+    out, lse = _flash_lse_core(static_cfg, qp, kp, vp, seed)
+    return (
+        out[:, :nq, :d].reshape(b, h, nq, d),
+        lse[:, :nq].reshape(b, h, nq),
+    )
