@@ -44,20 +44,23 @@ def test_fused_choose_blocks_whole_sequence():
 
 
 def test_fused_block_k_env_override_is_validated(monkeypatch):
-    from v1t_tpu.ops.fused_mha import _choose_blocks
+    # V1T_FUSED_BLOCK_K is captured ONCE at import (so the traced kernel
+    # config cannot diverge from what args.yaml records mid-process); tests
+    # patch the captured module constant
+    import v1t_tpu.ops.fused_mha as mha
 
     # npad 1664 = 128 * 13 -> the only 128-aligned proper divisor is 128
-    monkeypatch.setenv("V1T_FUSED_BLOCK_K", "128")
-    assert _choose_blocks(1654) == (1664, 1664, 128)
+    monkeypatch.setattr(mha, "_FUSED_BLOCK_K_OVERRIDE", 128)
+    assert mha._choose_blocks(1654) == (1664, 1664, 128)
     # args.yaml records the env var as the effective kernel config, so an
     # invalid value must raise instead of silently falling back (832 divides
     # 1664 but is not lane-tile aligned; 512 is aligned but doesn't divide)
     import pytest
 
-    for bad in ("832", "512"):
-        monkeypatch.setenv("V1T_FUSED_BLOCK_K", bad)
+    for bad in (832, 512):
+        monkeypatch.setattr(mha, "_FUSED_BLOCK_K_OVERRIDE", bad)
         with pytest.raises(ValueError):
-            _choose_blocks(1654)
+            mha._choose_blocks(1654)
 
 
 def test_fused_mlp_choose_rows():

@@ -80,3 +80,29 @@ def test_plot_samples(tmp_path):
     summary.close()
     plots = os.listdir(os.path.join(cfg.output_dir, "plots"))
     assert len(plots) == 2 and all(p.endswith(".png") for p in plots)
+
+
+def test_write_model_summaries(tmp_path):
+    """model.txt / model_core.txt / model_readout.txt run-directory contract
+    (reference model.py:19-47, 211-224)."""
+    import os
+
+    from v1t_tpu.configs import Config
+    from v1t_tpu.data.cards import synthetic_data_card
+    from v1t_tpu.models import build_model
+    from v1t_tpu.utils.summary import write_model_summaries
+
+    cfg = Config(
+        core="vit", readout="gaussian2d", behavior_mode=3, shift_mode=2,
+        precision="fp32", num_blocks=2, emb_dim=16, num_heads=2, mlp_dim=32,
+        patch_stride=8, resize_image=0,
+    )
+    card = synthetic_data_card(
+        mouse_ids=("A", "B"), num_neurons=50, input_shape=(1, 36, 64)
+    )
+    model = build_model(cfg, card)
+    write_model_summaries(cfg, model, card, str(tmp_path))
+    for name in ("model.txt", "model_core.txt", "model_readout.txt"):
+        path = tmp_path / name
+        assert path.exists() and os.path.getsize(path) > 500, name
+    assert "Model Summary" in (tmp_path / "model.txt").read_text()

@@ -87,6 +87,12 @@ def main(config: Config, wandb_sweep: bool = False):
     config.trainable_params = num_params
     if config.verbose:
         print(f"Model parameters: {num_params:,}")
+    summary.scalar("model/trainable_parameters", num_params, step=0)
+    # model.txt / model_core.txt / model_readout.txt (reference
+    # model.py:19-47, 211-224 torchinfo summaries)
+    from v1t_tpu.utils.summary import write_model_summaries
+
+    write_model_summaries(config, model, card, config.output_dir)
 
     mesh = None
     if config.data_parallel != 1 or config.sequence_parallel > 1:
@@ -211,6 +217,21 @@ def main(config: Config, wandb_sweep: bool = False):
         wandb_run.log(
             {"test_corr": eval_result["single_trial_correlation"]}, step=epoch
         )
+    # TB-HParams row: swept hyperparameters -> final metrics (companion to
+    # the wandb sweep table; configs/sweep_v1t.yaml defines the space)
+    hparam_metrics = {}
+    if np.isfinite(scheduler.best_value):
+        hparam_metrics["best_val_correlation"] = float(scheduler.best_value)
+    if "single_trial_correlation" in eval_result:
+        hparam_metrics["test_correlation"] = float(
+            eval_result["single_trial_correlation"]
+        )
+    if hparam_metrics:
+        summary.hparams(
+            {k: v for k, v in config.to_dict().items()
+             if isinstance(v, (int, float, bool, str))},
+            hparam_metrics,
+        )
     if config.verbose:
         print(f"\nResults saved to {config.output_dir}.")
     summary.close()
@@ -243,6 +264,10 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="bf16 compute (TPU equivalent of AMP)")
     parser.add_argument("--precision", type=str, default="bf16",
                         choices=["bf16", "fp32"])
+    parser.add_argument("--image_wire_dtype", type=str, default="auto",
+                        choices=["auto", "fp32"],
+                        help="host->device image dtype; fp32 keeps the "
+                             "reference's exact wire for strict parity")
     parser.add_argument("--attention_impl", type=str, default="auto",
                         choices=["auto", "pallas", "xla"])
     parser.add_argument("--readout_impl", type=str, default="auto",

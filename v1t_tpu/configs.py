@@ -45,6 +45,11 @@ class Config:
     seed: int = 1234
     amp: bool = False  # on TPU this selects bf16 compute (no GradScaler needed)
     precision: str = "bf16"  # compute dtype for matmuls: "bf16" | "fp32"
+    # host->device image dtype: "auto" sends bf16 when precision is bf16
+    # (halves the dominant transfer; ~0.4% relative quantization ahead of
+    # the cropper), "fp32" keeps the reference's exact fp32 wire for strict
+    # parity runs
+    image_wire_dtype: str = "auto"
     grad_checkpointing: t.Optional[int] = None
     deterministic: bool = False
 

@@ -133,7 +133,11 @@ def _wire_image_dtype(config):
     """bf16 on the wire when the model computes in bf16 — halves the
     dominant field's host->device transfer. Rounding moves ahead of the
     cropper's crop/resize (previously fp32 until the patch projection);
-    the ~0.4%-relative input quantization is within bf16 compute noise."""
+    the ~0.4%-relative input quantization is within bf16 compute noise.
+    ``--image_wire_dtype fp32`` keeps the reference's exact fp32 wire for
+    strict-parity runs."""
+    if getattr(config, "image_wire_dtype", "auto") == "fp32":
+        return None
     if getattr(config, "precision", None) == "bf16":
         import ml_dtypes
 

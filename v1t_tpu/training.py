@@ -42,6 +42,14 @@ from v1t_tpu.models import model_regularizer
 from v1t_tpu.models.model import Model
 
 
+class PreparedBatch(t.NamedTuple):
+    """One training batch staged on device: [(arrays, mask, n_real), ...]
+    micro-batches plus the true (unpadded) batch size."""
+
+    micros: list
+    total: int
+
+
 def pad_batch(batch: t.Dict[str, np.ndarray], batch_size: int):
     """Pad every array in the batch to ``batch_size`` rows and return the
     0/1 sample mask. Keeps shapes static so each mouse compiles once."""
@@ -259,26 +267,43 @@ class Trainer:
 
     # --- public steps ------------------------------------------------------------
 
+    def prepare_batch(self, batch: t.Dict[str, np.ndarray]) -> "PreparedBatch":
+        """Host-side batch preparation + ASYNC device transfer: pad each
+        micro-batch to the static shape and issue its device_put. Called
+        from the prefetch thread in ``train_epoch`` so the H2D transfer of
+        batch i+1 overlaps the compute of batch i (double buffering) —
+        through a remote-attached relay the transfer otherwise sits on the
+        step's critical path."""
+        micro = self.config.effective_micro_batch_size
+        true_total = len(batch["image"])
+        from v1t_tpu.data.loaders import micro_batching
+
+        micros = []
+        for micro_batch in micro_batching(batch, micro):
+            padded, mask = pad_batch(micro_batch, micro)
+            arrays, mask_dev = self._device_batch(padded, mask)
+            micros.append((arrays, mask_dev, len(micro_batch["image"])))
+        return PreparedBatch(micros=micros, total=true_total)
+
     def train_step(
         self,
         mouse_id: str,
-        batch: t.Dict[str, np.ndarray],
+        batch: t.Union[t.Dict[str, np.ndarray], "PreparedBatch"],
         acc_grads,
         update: bool,
     ):
         """Gradient accumulation step for one mouse's batch (reference
-        train_step, train.py:42-81); optimizer update when ``update``."""
-        micro = self.config.effective_micro_batch_size
+        train_step, train.py:42-81); optimizer update when ``update``.
+        Accepts either a raw host batch dict or a ``PreparedBatch`` already
+        staged on device by the prefetcher."""
+        if not isinstance(batch, PreparedBatch):
+            batch = self.prepare_batch(batch)
         metrics_sum = None
-        true_total = len(batch["image"])
-        from v1t_tpu.data.loaders import micro_batching
-
-        for micro_batch in micro_batching(batch, micro):
-            padded, mask = pad_batch(micro_batch, micro)
+        true_total = batch.total
+        for arrays, mask, n in batch.micros:
             # ds-scale uses the FULL batch size (reference train.py:65-70);
             # the regularizer is scaled by micro/batch (train.py:71)
-            reg_weight = np.float32(len(micro_batch["image"]) / true_total)
-            arrays, mask = self._device_batch(padded, mask)
+            reg_weight = np.float32(n / true_total)
             self._step_count += 1
             rng = jax.random.fold_in(self.base_rng, self._step_count)
             with self._kernel_mesh():
@@ -376,17 +401,50 @@ def compute_metrics(y_true: np.ndarray, y_pred: np.ndarray) -> dict:
     }
 
 
+def _device_prefetch(trainer: Trainer, iterator, depth: int = 2):
+    """Double-buffer host->device transfers: a background thread pads each
+    batch and issues its (async) device_put ``depth`` batches ahead of the
+    consumer, overlapping H2D with the running step."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    errors: list = []
+
+    def producer():
+        try:
+            for mouse_id, batch in iterator:
+                q.put((mouse_id, trainer.prepare_batch(batch)))
+        except BaseException as exc:  # surfaced in the consumer
+            errors.append(exc)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 def train_epoch(
     trainer: Trainer, ds: t.Dict[str, BatchLoader], epoch: int, summary=None
 ) -> dict:
     """One epoch over CycleLoaders with cross-mouse gradient accumulation
-    (reference train, train.py:84-116)."""
+    (reference train, train.py:84-116). Batches are staged on device by a
+    prefetch thread (see _device_prefetch)."""
     mouse_ids = list(ds.keys())
     results: dict = {m: {} for m in mouse_ids}
     cyc = CycleLoaders(ds)
     update_frequency = len(mouse_ids)
     acc = None
-    for i, (mouse_id, batch) in enumerate(cyc):
+    for i, (mouse_id, batch) in enumerate(
+        _device_prefetch(trainer, iter(cyc))
+    ):
         acc, metrics = trainer.train_step(
             mouse_id,
             batch,

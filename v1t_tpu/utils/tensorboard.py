@@ -80,6 +80,24 @@ class Summary:
 
             plt.close(figure)
 
+    def hparams(self, hparams: dict, metrics: dict, mode: int = 0):
+        """TensorBoard HParams plugin entry: one row per run relating the
+        swept hyperparameters to the final metrics (the TB counterpart of
+        the wandb sweep table)."""
+        writer = self.get_writer(mode)
+        if writer is None:
+            return
+        clean = {
+            k: (v if isinstance(v, (int, float, bool, str)) else str(v))
+            for k, v in hparams.items()
+            if v is not None
+        }
+        writer.add_hparams(
+            clean,
+            {f"hparam/{k}": float(v) for k, v in metrics.items()},
+            run_name=".",
+        )
+
     def close(self):
         for writer in self.writers:
             if writer is not None:
