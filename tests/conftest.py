@@ -19,3 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite's wall time is dominated by
+# repeated XLA compiles of tiny models — cache across tests and runs
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

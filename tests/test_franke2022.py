@@ -19,6 +19,7 @@ def franke_dir(tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_color_channels_flow_through_model(franke_dir, tmp_path):
     """2-channel color stimuli without gray_scale: the cropper must skip the
     resize (reference image_cropper.py:97) and the core must see 2 channels."""

@@ -85,6 +85,7 @@ _WORKER = textwrap.dedent(
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_two_process_distributed_cpu(tmp_path):
     """Real jax.distributed over localhost: 2 processes x 2 virtual CPU
     devices stitch host-local batches into one global array and reduce it."""

@@ -71,6 +71,7 @@ def _tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_classification_model():
     model = ClassificationModel(
         config=_tiny_cfg(), image_shape=(1, 36, 64), num_classes=10
@@ -96,6 +97,7 @@ def test_reconstruction_model():
     assert out.shape == (2, 1, 36, 64)
 
 
+@pytest.mark.slow
 def test_pretrain_core_injection(tmp_path):
     """A pretrain checkpoint's core must load into the full model and freeze
     (reference models/utils.py:14-30, model.py:183-185)."""

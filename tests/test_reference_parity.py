@@ -240,6 +240,7 @@ def _assert_forward_parity(cfg, card, rtol=2e-5, atol=2e-5):
 # --- the VERDICT matrix: vit + gaussian2d over behavior x shift modes ----------
 
 
+@pytest.mark.slow  # the full matrix; the flagship cell stays fast below
 @pytest.mark.parametrize("behavior_mode", [0, 2, 3, 4])
 @pytest.mark.parametrize("shift_mode", [0, 2, 4])
 def test_vit_gaussian2d_forward_parity(behavior_mode, shift_mode):
@@ -247,6 +248,12 @@ def test_vit_gaussian2d_forward_parity(behavior_mode, shift_mode):
     _assert_forward_parity(cfg, _card())
 
 
+def test_vit_gaussian2d_flagship_forward_parity():
+    # the tuned-defaults cell of the matrix, kept in the fast selection
+    _assert_forward_parity(_config(behavior_mode=3, shift_mode=2), _card())
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("patch_mode", [1, 2, 3])
 def test_vit_patch_modes_forward_parity(patch_mode):
     cfg = _config(patch_mode=patch_mode)
@@ -258,11 +265,13 @@ def test_vit_lsa_forward_parity():
                                    shift_mode=2), _card())
 
 
+@pytest.mark.slow
 def test_vit_behavior_channels_forward_parity():
     # behavior_mode 1: behavior appended as image channels in the cropper
     _assert_forward_parity(_config(behavior_mode=1), _card())
 
 
+@pytest.mark.slow
 def test_vit_resize_and_crop_forward_parity():
     # center_crop + per-mouse cropper shifter + bilinear resize to (36, 64)
     cfg = _config(behavior_mode=3, shift_mode=4, center_crop=0.8,
@@ -270,11 +279,13 @@ def test_vit_resize_and_crop_forward_parity():
     _assert_forward_parity(cfg, _card(input_shape=(1, 72, 128)))
 
 
+@pytest.mark.slow
 def test_vit_free_mu_forward_parity():
     cfg = _config(disable_grid_predictor=True, behavior_mode=2, shift_mode=2)
     _assert_forward_parity(cfg, _card())
 
 
+@pytest.mark.slow
 def test_vit_bias_mode2_forward_parity():
     _assert_forward_parity(_config(bias_mode=2, behavior_mode=3,
                                    shift_mode=2), _card())
@@ -298,6 +309,7 @@ def test_secondary_readouts_forward_parity(readout):
     _assert_forward_parity(cfg, _card())
 
 
+@pytest.mark.slow
 def test_cct_forward_parity():
     cfg = _config(core="cct", behavior_mode=3, shift_mode=2, pos_emb="sine",
                   patch_stride=2)
@@ -350,6 +362,7 @@ def _assert_stateful_forward_parity(cfg, card):
         )
 
 
+@pytest.mark.slow
 def test_stacked2d_forward_parity():
     cfg = _config(core="stacked2d", behavior_mode=0, shift_mode=2,
                   num_layers=3, dropout=0.1, core_reg_input=1.0,
@@ -359,12 +372,14 @@ def test_stacked2d_forward_parity():
     _assert_stateful_forward_parity(cfg, _card(input_shape=(1, 24, 36)))
 
 
+@pytest.mark.slow
 def test_stn_forward_parity():
     cfg = _config(core="stn", behavior_mode=0, shift_mode=2, num_layers=3,
                   num_filters=8, dropout=0.1)
     _assert_stateful_forward_parity(cfg, _card(input_shape=(1, 24, 36)))
 
 
+@pytest.mark.slow
 def test_ensemble_mode2_parity():
     """Ensemble composition (reference ensemble.py:131-151 + OutputModule
     mode 2): two transplanted sub-models, per-mouse Linear over the model

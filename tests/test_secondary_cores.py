@@ -51,7 +51,12 @@ def _cfg(core, data_dir, out, **kw):
     return cfg
 
 
-@pytest.mark.parametrize("core", ["cct", "stacked2d", "stn"])
+@pytest.mark.parametrize(
+    "core",
+    ["stacked2d",
+     pytest.param("cct", marks=pytest.mark.slow),
+     pytest.param("stn", marks=pytest.mark.slow)],
+)
 def test_core_forward_shapes(core):
     cfg = Config(
         core=core, behavior_mode=0, num_blocks=2, num_layers=2, num_filters=8,
@@ -78,6 +83,7 @@ def test_core_forward_shapes(core):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("core", ["stacked2d", "stn"])
 def test_bn_cores_train_and_update_stats(core, data_dir, tmp_path):
     cfg = _cfg(core, data_dir, tmp_path / core)
@@ -106,6 +112,7 @@ def test_bn_cores_train_and_update_stats(core, data_dir, tmp_path):
     assert np.isfinite(val["loss"])
 
 
+@pytest.mark.slow
 def test_cct_trains(data_dir, tmp_path):
     cfg = _cfg("cct", data_dir, tmp_path / "cct", behavior_mode=3, shift_mode=2,
                t_dropout=0.1, p_dropout=0.0, pos_emb="sine", drop_path=0.1)
@@ -158,7 +165,10 @@ def _forward(model, params, state, train=False):
     return np.asarray(out)
 
 
-@pytest.mark.parametrize("conv_type", ["attention", "conv"])
+@pytest.mark.parametrize(
+    "conv_type",
+    [pytest.param("attention", marks=pytest.mark.slow), "conv"],
+)
 def test_stacked2d_conv_types(conv_type):
     cfg, model, params, state = _stacked2d_model(
         stacked2d_conv_type=conv_type
@@ -173,6 +183,7 @@ def test_stacked2d_conv_types(conv_type):
         assert "kernel" in core_params["layer1_conv"]
 
 
+@pytest.mark.slow
 def test_stacked2d_conv_gradients_and_group_sparsity():
     from v1t_tpu.models.cores.stacked2d import Stacked2dCore
 

@@ -64,6 +64,7 @@ def _build(cfg):
     return train_ds, val_ds, test_ds, card, trainer
 
 
+@pytest.mark.slow
 def test_loss_decreases_and_validation_works(data_dir, tmp_path):
     cfg = _small_config(data_dir, tmp_path / "run")
     train_ds, val_ds, test_ds, card, trainer = _build(cfg)

@@ -106,3 +106,22 @@ def test_write_model_summaries(tmp_path):
         path = tmp_path / name
         assert path.exists() and os.path.getsize(path) > 500, name
     assert "Model Summary" in (tmp_path / "model.txt").read_text()
+
+
+def test_sweep_yaml_space_sampling():
+    """configs/sweep_v1t.yaml parses and its parameter space samples valid
+    Config overrides (sweep.py local mode)."""
+    import numpy as np
+
+    import sweep as sweep_cli
+
+    spec = sweep_cli.load_sweep_yaml("configs/sweep_v1t.yaml")
+    assert spec["metric"]["name"] == "val_corr"
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        o = sweep_cli.sample_from_yaml_space(spec["parameters"], rng)
+        assert o["patch_size"] in (4, 8, 16)
+        assert 64 <= o["emb_dim"] <= 256 and isinstance(o["emb_dim"], int)
+        assert 0.0001 <= o["lr"] <= 0.01
+        assert 0.0 <= o["t_dropout"] <= 0.5
+        assert o["criterion"] == "poisson"
