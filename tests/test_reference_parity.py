@@ -445,6 +445,90 @@ def test_ensemble_mode2_parity():
         )
 
 
+@pytest.mark.slow
+def test_three_step_training_dynamics_parity():
+    """Optimizer-level parity: three AdamW steps on identical data must
+    leave the two frameworks' parameters equal leaf for leaf — pinning the
+    per-module LR groups (core_lr vs lr, reference model.py:112-139 /
+    train.py:217-223 with weight_decay=0), Adam bias-correction numerics,
+    and the regularizer composition (core L1 + readout |features| L1 +
+    shifter L1) that feeds the total loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from v1t_tpu import optim as vopt
+    from v1t_tpu.models import model_regularizer
+
+    cfg = _config(
+        behavior_mode=3, shift_mode=2, p_dropout=0.0, t_dropout=0.0,
+        lr=1e-3, core_lr=4e-4, core_reg_scale=0.05, readout_reg_scale=0.01,
+    )
+    card = _card()
+    ref, model, params = _make_case(cfg, card)
+    mouse_id = "A"
+    images, behaviors, pupils = _inputs(card)
+    target = np.random.default_rng(7).poisson(2.0, (4, 40)).astype(np.float32)
+    eps = float(np.finfo(np.float32).eps)
+
+    # torch side: AdamW param groups exactly as the reference builds them
+    groups = ref.get_parameters(core_lr=cfg.core_lr)
+    t_opt = torch.optim.AdamW(
+        groups, lr=cfg.lr, betas=(cfg.adam_beta1, cfg.adam_beta2),
+        eps=cfg.adam_eps, weight_decay=0.0,
+    )
+    t_in = (
+        torch.from_numpy(images), torch.from_numpy(behaviors),
+        torch.from_numpy(pupils), torch.from_numpy(target) + eps,
+    )
+    ref.train(False)  # deterministic forward (mu, no dropout) on both sides
+    for _ in range(3):
+        t_opt.zero_grad()
+        out, _, _ = ref(
+            t_in[0], mouse_id=mouse_id, behaviors=t_in[1],
+            pupil_centers=t_in[2],
+        )
+        loss = torch.sum((out + eps) - t_in[3] * torch.log(out + eps))
+        total = loss + ref.regularizer(mouse_id=mouse_id)
+        total.backward()
+        t_opt.step()
+
+    # jax side: the shipped optimizer + regularizer
+    tx, opt_state = vopt.build_optimizer(cfg, params)
+
+    def loss_fn(p):
+        out, _, _ = model.apply(
+            {"params": p}, images, mouse_id=mouse_id, behaviors=behaviors,
+            pupil_centers=pupils, train=False,
+        )
+        loss = jnp.sum((out + eps) - (target + eps) * jnp.log(out + eps))
+        return loss + model_regularizer(cfg, p, mouse_id=mouse_id)
+
+    for _ in range(3):
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), params, updates
+        )
+
+    t_params = convert_state_dict(ref.state_dict(), cfg)
+    flat_t = jax.tree_util.tree_flatten_with_path(t_params)[0]
+    flat_j = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    for path, t_leaf in flat_t:
+        # atol budget: Adam normalizes each update to ~lr regardless of
+        # gradient magnitude, so for leaves whose raw gradient is tiny
+        # (zero-init biases) cross-framework fp noise in the gradient can
+        # shift individual updates by a few e-5. A real bug in the LR
+        # groups, bias correction, or regularizer shifts leaves by a full
+        # lr per step (>= 1.2e-3 over 3 steps) — an order of magnitude
+        # above this tolerance.
+        np.testing.assert_allclose(
+            np.asarray(flat_j[path]), np.asarray(t_leaf),
+            rtol=5e-4, atol=1e-4,
+            err_msg=f"params diverged after 3 steps at "
+                    f"{jax.tree_util.keystr(path)}",
+        )
+
+
 def test_vit_gaussian2d_gradient_parity():
     """Poisson-loss gradients must agree leaf for leaf across frameworks —
     the torch grads are converted through the SAME mapping, so every

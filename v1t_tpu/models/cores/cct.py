@@ -23,7 +23,7 @@ from flax import linen as nn
 from v1t_tpu.models.cores.vit import MLP, BehaviorMLP, trunc_normal_init
 from v1t_tpu.models.registry import register_core
 from v1t_tpu.ops.attention import multi_head_attention
-from v1t_tpu.ops.common import drop_path, find_shape
+from v1t_tpu.ops.common import drop_path, find_shape, l1_sum
 
 Dtype = t.Any
 
@@ -322,4 +322,4 @@ class CCTCore(nn.Module):
     @staticmethod
     def regularizer(params: dict, reg_scale: float) -> jax.Array:
         leaves = jax.tree_util.tree_leaves(params)
-        return reg_scale * sum(jnp.sum(jnp.abs(p)) for p in leaves)
+        return reg_scale * sum(l1_sum(p) for p in leaves)

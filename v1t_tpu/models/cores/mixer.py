@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from v1t_tpu.models.registry import register_core
-from v1t_tpu.ops.common import find_shape, unfold_output_size, unfold_patches
+from v1t_tpu.ops.common import find_shape, unfold_output_size, unfold_patches, l1_sum
 
 
 class MixerBlock(nn.Module):
@@ -108,4 +108,4 @@ class MixerCore(nn.Module):
     @staticmethod
     def regularizer(params: dict, reg_scale: float) -> jax.Array:
         leaves = jax.tree_util.tree_leaves(params)
-        return reg_scale * sum(jnp.sum(jnp.abs(p)) for p in leaves)
+        return reg_scale * sum(l1_sum(p) for p in leaves)

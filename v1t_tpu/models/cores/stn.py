@@ -145,4 +145,6 @@ class SpatialTransformerCore(nn.Module):
     @staticmethod
     def regularizer(params: dict, reg_scale: float) -> jax.Array:
         leaves = jax.tree_util.tree_leaves(params)
-        return reg_scale * sum(jnp.sum(jnp.abs(p)) for p in leaves)
+        from v1t_tpu.ops.common import l1_sum
+
+        return reg_scale * sum(l1_sum(p) for p in leaves)

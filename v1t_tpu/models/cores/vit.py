@@ -37,6 +37,7 @@ from v1t_tpu.ops.attention import multi_head_attention
 from v1t_tpu.ops.fused_mha import WHOLE_SEQ_MAX, _choose_blocks, fused_mha
 from v1t_tpu.ops.fused_mlp import fused_mlp
 from v1t_tpu.ops.common import (
+    l1_sum,
     drop_path,
     find_shape,
     torch_default_bias_init,
@@ -709,4 +710,4 @@ class ViTCore(nn.Module):
     def regularizer(params: dict, reg_scale: float) -> jax.Array:
         """L1 over ALL core parameters (reference vit.py:419-421)."""
         leaves = jax.tree_util.tree_leaves(params)
-        return reg_scale * sum(jnp.sum(jnp.abs(p)) for p in leaves)
+        return reg_scale * sum(l1_sum(p) for p in leaves)

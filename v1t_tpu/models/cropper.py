@@ -149,4 +149,6 @@ class ImageCropper(nn.Module):
         if key not in params:
             return jnp.zeros(())
         leaves = jax.tree_util.tree_leaves(params[key])
-        return reg_scale * sum(jnp.sum(jnp.abs(p)) for p in leaves)
+        from v1t_tpu.ops.common import l1_sum
+
+        return reg_scale * sum(l1_sum(p) for p in leaves)

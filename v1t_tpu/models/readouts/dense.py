@@ -11,7 +11,7 @@ from flax import linen as nn
 
 from v1t_tpu.data.cards import NeuronCard
 from v1t_tpu.models.registry import register_readout
-from v1t_tpu.ops.common import torch_default_bias_init, torch_default_kernel_init
+from v1t_tpu.ops.common import torch_default_bias_init, torch_default_kernel_init, l1_sum
 
 
 @register_readout("dense")
@@ -56,4 +56,4 @@ class DenseReadout(nn.Module):
     @staticmethod
     def regularizer(params: dict, reg_scale: float) -> jax.Array:
         leaves = jax.tree_util.tree_leaves(params)
-        return reg_scale * sum(jnp.sum(jnp.abs(p)) for p in leaves)
+        return reg_scale * sum(l1_sum(p) for p in leaves)

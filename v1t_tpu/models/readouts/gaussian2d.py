@@ -32,6 +32,7 @@ from flax import linen as nn
 
 from v1t_tpu.data.cards import NeuronCard
 from v1t_tpu.models.registry import register_readout
+from v1t_tpu.ops.common import l1_sum
 from v1t_tpu.ops.grid_sample import grid_sample_tokens
 from v1t_tpu.ops.interp_matmul import MAX_TABLE_ROWS, interp_matmul_sample_cm
 
@@ -231,4 +232,4 @@ class Gaussian2DReadout(nn.Module):
     @staticmethod
     def regularizer(params: dict, reg_scale: float) -> jax.Array:
         """L1 on the feature weights only (gaussian2d.py:83-100)."""
-        return reg_scale * jnp.sum(jnp.abs(params["features"]))
+        return reg_scale * l1_sum(params["features"])

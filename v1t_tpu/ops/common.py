@@ -42,6 +42,20 @@ def elu1(x: jax.Array) -> jax.Array:
     return jax.nn.elu(x) + 1.0
 
 
+def l1_sum(p: jax.Array) -> jax.Array:
+    """sum(|p|) with torch's subgradient convention: d|x|/dx = 0 at x == 0.
+
+    ``jax.grad(jnp.abs)(0.0) == 1.0`` while torch's ``abs`` backward yields
+    0 at zero. L1-regularized modules here are routinely zero-initialized
+    (LayerNorm/Linear biases), so the default JAX subgradient injects a
+    constant ``reg_scale`` pull on every zero leaf that the reference
+    (e.g. src/v1t/models/core/vit.py:419-421) does not have — enough to
+    visibly alter early training dynamics under Adam. ``p * sign(p)`` has
+    the same value and torch's gradient.
+    """
+    return jnp.sum(p * jnp.sign(jax.lax.stop_gradient(p)))
+
+
 def drop_path(
     x: jax.Array,
     rate: float,

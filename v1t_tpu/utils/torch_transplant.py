@@ -32,10 +32,15 @@ import numpy as np
 
 
 def _np(x) -> np.ndarray:
-    """torch tensor (or array) -> float32 numpy."""
+    """torch tensor (or array) -> float32 numpy, always a fresh copy.
+
+    ``detach().cpu().numpy()`` aliases the torch parameter storage, and
+    ``np.asarray`` is a no-op for float32 inputs — without the explicit copy
+    a later in-place torch mutation (e.g. ``optimizer.step()``) would
+    silently rewrite the "transplanted" JAX initialization."""
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x, np.float32)
+    return np.array(x, np.float32, copy=True)
 
 
 def _linear(sd: dict, prefix: str, bias: bool = True) -> dict:
