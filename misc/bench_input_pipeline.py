@@ -47,20 +47,35 @@ def main(args):
         ds.transform_pupil_center(raw["pupil_center"])
     per_trial = (time.perf_counter() - t0) / min(n, args.samples)
 
-    # packed-array vectorized batches
-    loader = BatchLoader(ds, batch_size=args.batch_size, shuffle=True)
-    count = 0
-    t0 = time.perf_counter()
-    for batch in loader:
-        count += len(batch["image"])
-    packed = (time.perf_counter() - t0) / count
+    # packed-array vectorized batches: numpy transforms vs the native
+    # fastbatch kernels (v1t_tpu/data/_fastbatch.c)
+    import os
+
+    from v1t_tpu.data import fastbatch
+
+    def run_loader():
+        loader = BatchLoader(ds, batch_size=args.batch_size, shuffle=True)
+        count = 0
+        t0 = time.perf_counter()
+        for batch in loader:
+            count += len(batch["image"])
+        return count, (time.perf_counter() - t0) / count
+
+    os.environ["V1T_HOST_FASTPATH"] = "0"
+    count, packed = run_loader()
+    os.environ["V1T_HOST_FASTPATH"] = "1"
+    native = None
+    if fastbatch.lib() is not None:
+        _, native = run_loader()
 
     print(f"samples: {count} (batch {args.batch_size})")
     print(f"per-trial .npy path : {per_trial * 1e6:9.1f} us/sample "
           f"({1 / per_trial:,.0f} samples/s)")
-    print(f"packed-array path   : {packed * 1e6:9.1f} us/sample "
-          f"({1 / packed:,.0f} samples/s)")
-    print(f"speedup             : {per_trial / packed:.1f}x")
+    print(f"packed numpy path   : {packed * 1e6:9.1f} us/sample "
+          f"({1 / packed:,.0f} samples/s)  [{per_trial / packed:.1f}x]")
+    if native is not None:
+        print(f"packed native path  : {native * 1e6:9.1f} us/sample "
+              f"({1 / native:,.0f} samples/s)  [{per_trial / native:.1f}x]")
 
 
 if __name__ == "__main__":

@@ -330,27 +330,43 @@ class MouseDataset:
 
     # --- batch serving -------------------------------------------------------
 
-    def get_batch(self, positions: np.ndarray) -> t.Dict[str, np.ndarray]:
-        """Assemble a transformed batch for dataset positions (not trial ids)."""
+    def get_batch(
+        self, positions: np.ndarray, image_dtype: t.Any = None
+    ) -> t.Dict[str, np.ndarray]:
+        """Assemble a transformed batch for dataset positions (not trial ids).
+
+        ``image_dtype`` is the wire dtype for the image field (bf16 under
+        bf16 compute, loaders.py _wire_image_dtype); None keeps float32.
+        The hot chain (gather -> standardize -> gray reduce -> cast) runs
+        through the native fastbatch kernels when available — bit-exact with
+        the numpy path below (tests/test_fastbatch.py) — so the host keeps
+        an 8-chip slice fed (BENCH_NOTES.md input-pipeline headroom).
+        """
         trials = self.indexes[positions]
-        order = np.argsort(trials)  # memmap fancy-indexing wants sorted indices
-        inverse = np.argsort(order)
-        batch = {
-            "image": np.asarray(
-                self._packed["images"][trials[order]], np.float32
-            )[inverse],
-            "response": np.asarray(
-                self._packed["responses"][trials[order]], np.float32
-            )[inverse],
-            "behavior": np.asarray(
-                self._packed["behavior"][trials[order]], np.float32
-            )[inverse],
-            "pupil_center": np.asarray(
-                self._packed["pupil_center"][trials[order]], np.float32
-            )[inverse],
-        }
-        batch["image"] = self.transform_image(batch["image"]).astype(np.float32)
-        batch["response"] = self.transform_response(batch["response"])
+        batch = self._get_batch_native(trials, image_dtype)
+        if batch is None:
+            order = np.argsort(trials)  # memmap fancy-indexing wants sorted
+            inverse = np.argsort(order)
+            batch = {
+                "image": np.asarray(
+                    self._packed["images"][trials[order]], np.float32
+                )[inverse],
+                "response": np.asarray(
+                    self._packed["responses"][trials[order]], np.float32
+                )[inverse],
+                "behavior": np.asarray(
+                    self._packed["behavior"][trials[order]], np.float32
+                )[inverse],
+                "pupil_center": np.asarray(
+                    self._packed["pupil_center"][trials[order]], np.float32
+                )[inverse],
+            }
+            batch["image"] = self.transform_image(batch["image"]).astype(
+                np.float32
+            )
+            if image_dtype is not None:
+                batch["image"] = batch["image"].astype(image_dtype)
+            batch["response"] = self.transform_response(batch["response"])
         batch["behavior"] = self.transform_behavior(batch["behavior"]).astype(
             np.float32
         )
@@ -360,6 +376,43 @@ class MouseDataset:
         batch["image_id"] = self.image_ids[positions]
         batch["trial_id"] = self.trial_ids[positions]
         return batch
+
+    def _get_batch_native(
+        self, trials: np.ndarray, image_dtype: t.Any
+    ) -> t.Optional[t.Dict[str, np.ndarray]]:
+        """Native gather+transform for the heavy fields; None -> numpy path.
+        behavior/pupil_center stay numpy (tiny, per-mouse stats shapes vary)
+        but ride the native row gather."""
+        from v1t_tpu.data import fastbatch
+
+        if fastbatch.lib() is None:
+            return None
+        out_bf16 = image_dtype is not None and np.dtype(image_dtype).name == (
+            "bfloat16"
+        )
+        if image_dtype is not None and not out_bf16:
+            return None  # unknown wire dtype: keep the validated numpy path
+        stats = self.image_stats
+        image = fastbatch.gather_image(
+            self._packed["images"], trials,
+            np.asarray(stats["mean"]), np.asarray(stats["std"]),
+            reduce_gray=bool(self.gray_scale), out_bf16=out_bf16,
+        )
+        if image is None:
+            return None
+        response = fastbatch.gather_scale(
+            self._packed["responses"], trials, self._response_precision
+        )
+        behavior = fastbatch.gather_rows(self._packed["behavior"], trials)
+        pupil = fastbatch.gather_rows(self._packed["pupil_center"], trials)
+        if response is None or behavior is None or pupil is None:
+            return None
+        return {
+            "image": image,
+            "response": response,
+            "behavior": behavior,
+            "pupil_center": pupil,
+        }
 
     def __getitem__(self, idx: int) -> t.Dict[str, np.ndarray]:
         batch = self.get_batch(np.array([idx]))

@@ -65,9 +65,9 @@ class BatchLoader:
 
     def _iter_sync(self):
         for pos in self._iter_positions():
-            batch = self.dataset.get_batch(pos)
-            if self.image_dtype is not None:
-                batch["image"] = batch["image"].astype(self.image_dtype)
+            # the wire cast happens inside get_batch (fused into the native
+            # assembly path when available)
+            batch = self.dataset.get_batch(pos, image_dtype=self.image_dtype)
             batch["mouse_id"] = self.dataset.mouse_id
             yield batch
 
