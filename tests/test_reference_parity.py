@@ -372,6 +372,73 @@ def test_stacked2d_forward_parity():
     _assert_stateful_forward_parity(cfg, _card(input_shape=(1, 24, 36)))
 
 
+@pytest.mark.parametrize("core", ["stacked2d", "stn"])
+def test_batchnorm_update_dynamics_parity(core):
+    """Two TRAIN-mode forwards must leave identical BatchNorm running
+    statistics in both frameworks — pinning torch's update rule (momentum
+    0.1 == flax 0.9, UNBIASED variance in the running update while the
+    batch is normalized with the biased one; torch _BatchNorm.forward).
+    The forward-parity tests transplant already-updated statistics, so the
+    update rule itself is only covered here."""
+    import jax
+
+    from v1t_tpu.models.model import init_model_variables
+    from v1t_tpu.utils.torch_transplant import convert_batch_stats
+
+    if core == "stacked2d":
+        cfg = _config(core=core, behavior_mode=0, shift_mode=0,
+                      num_layers=3, dropout=0.0, core_reg_input=1.0,
+                      core_reg_hidden=0.0)
+    else:
+        cfg = _config(core=core, behavior_mode=0, shift_mode=0,
+                      num_layers=3, num_filters=8, dropout=0.0)
+    card = _card(input_shape=(1, 24, 36), mouse_ids=("A",), num_neurons=(40,))
+    ref = _reference_model(cfg, card)
+    cfg.mouse_ids = list(card.mouse_ids)
+    params = convert_state_dict(ref.state_dict(), cfg)
+    model = build_model(cfg, card)
+    _, state = init_model_variables(model, seed=0)
+
+    ref.train(True)
+    rng = jax.random.key(7)
+    for step in range(2):
+        images, behaviors, pupils = _inputs(card, seed=50 + step)
+        with torch.no_grad():
+            ref(
+                torch.from_numpy(images), mouse_id="A",
+                behaviors=torch.from_numpy(behaviors),
+                pupil_centers=torch.from_numpy(pupils),
+            )
+        # the readout's stochastic grid sampling uses framework-specific
+        # RNG, so outputs are not comparable in train mode — but every BN
+        # layer's running stats see the previous BN layer's train-mode
+        # output, so stats equality transitively pins the train-mode
+        # normalization as well
+        _, state = model.apply(
+            {"params": params, **state}, images, mouse_id="A",
+            behaviors=behaviors, pupil_centers=pupils, train=True,
+            mutable=["batch_stats"],
+            rngs={
+                "sample": jax.random.fold_in(rng, step),
+                "dropout": jax.random.fold_in(rng, 10 + step),
+                "droppath": jax.random.fold_in(rng, 20 + step),
+            },
+        )
+    # running statistics after two updates
+    want = convert_batch_stats(ref.state_dict(), cfg)["batch_stats"]
+    flat_want = jax.tree_util.tree_flatten_with_path(want)[0]
+    flat_got = dict(
+        jax.tree_util.tree_flatten_with_path(state["batch_stats"])[0]
+    )
+    assert flat_want, "no running statistics found to compare"
+    for path, leaf in flat_want:
+        np.testing.assert_allclose(
+            np.asarray(flat_got[path]), np.asarray(leaf),
+            rtol=1e-5, atol=1e-6,
+            err_msg=f"running stats diverged at {jax.tree_util.keystr(path)}",
+        )
+
+
 @pytest.mark.slow
 def test_stn_forward_parity():
     cfg = _config(core="stn", behavior_mode=0, shift_mode=2, num_layers=3,

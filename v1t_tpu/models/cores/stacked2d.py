@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from v1t_tpu.models.norm import TorchBatchNorm
 from v1t_tpu.models.registry import register_core
 
 Dtype = t.Any
@@ -199,6 +200,9 @@ class Stacked2dCore(nn.Module):
     dropout: float = 0.0
     linear: bool = False
     use_bias: bool = True
+    # TORCH-convention BN momentum (weight of the new batch statistic):
+    # the reference passes 0.9 (stacked2d.py:335) — running stats track
+    # the latest batches almost entirely
     momentum: float = 0.9
     gamma_input: float = 6.3831
     gamma_hidden: float = 0.0
@@ -280,20 +284,18 @@ class Stacked2dCore(nn.Module):
             return x
         is_final = layer_idx == self.num_layers - 1
         if self.independent_bn_bias:
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=self.momentum,
-                name=f"layer{layer_idx}_norm",
-            )(x)
+            return TorchBatchNorm(
+                momentum=self.momentum, name=f"layer{layer_idx}_norm",
+            )(x, use_running_average=not train)
         affine = (
             self.use_bias
             and self.batch_norm_scale
             and (not is_final or self.final_batchnorm_scale)
         )
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=self.momentum,
-            use_bias=affine, use_scale=affine,
+        x = TorchBatchNorm(
+            momentum=self.momentum, use_bias=affine, use_scale=affine,
             name=f"layer{layer_idx}_norm",
-        )(x)
+        )(x, use_running_average=not train)
         if self.use_bias and (
             not self.batch_norm_scale
             or (is_final and not self.final_batchnorm_scale)

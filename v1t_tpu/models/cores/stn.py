@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from v1t_tpu.models.norm import TorchBatchNorm
 from v1t_tpu.models.registry import register_core
 from v1t_tpu.ops.grid_sample import grid_sample
 
@@ -121,7 +122,7 @@ class SpatialTransformerCore(nn.Module):
         # --- residual CNN stack (stn.py:80-114, 137-138) ---
         x = jnp.transpose(outputs, (0, 2, 3, 1))
         x = _torch_conv(self.num_filters, (9, 9), c * 81, "block1_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="block1_bn")(x)
+        x = TorchBatchNorm(name="block1_bn")(x, use_running_average=not train)
         x = nn.gelu(x, approximate=False)
         # Dropout2d: drop whole channels (reference stn.py uses nn.Dropout2d)
         x = nn.Dropout(
@@ -132,7 +133,7 @@ class SpatialTransformerCore(nn.Module):
                 self.num_filters, (3, 3), self.num_filters * 9,
                 f"block{i + 1}_conv", padding=1,
             )(x)
-            y = nn.BatchNorm(use_running_average=not train, name=f"block{i + 1}_bn")(y)
+            y = TorchBatchNorm(name=f"block{i + 1}_bn")(y, use_running_average=not train)
             y = nn.gelu(y, approximate=False)
             if i < self.num_layers - 1:
                 y = nn.Dropout(
