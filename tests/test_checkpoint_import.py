@@ -1,0 +1,198 @@
+"""End-to-end test of import_checkpoint.py: write a reference-format torch
+run directory (args.yaml + ckpt/model_state.pt, reference
+src/v1t/utils/scheduler.py:84-102), import it, restore through this
+framework's normal run-directory flow, and assert forward parity with the
+source torch model."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+torch = pytest.importorskip("torch")
+
+from test_reference_parity import _card, _config, _inputs, _reference_model
+
+from import_checkpoint import convert_run
+from v1t_tpu.configs import load_args
+from v1t_tpu.models import build_model
+from v1t_tpu.models.model import init_model_variables
+from v1t_tpu.utils.scheduler import Scheduler
+
+
+def _write_reference_run(tmp_path, cfg, card, ref, scheduler_extra=None):
+    """Mimic the reference run-directory contract: args.yaml is the argparse
+    namespace dump (reference utils/utils.py:280-289) and the checkpoint is
+    torch.save of {epoch, value, model, optimizer, scaler, scheduler}."""
+    torch_dir = os.path.join(tmp_path, "torch_run")
+    os.makedirs(os.path.join(torch_dir, "ckpt"))
+    payload = dataclasses.asdict(cfg)
+    payload.update(
+        device="cuda",  # torch-only runtime field; must not leak
+        mouse_ids=list(card.mouse_ids),
+        output_shapes={
+            m: [card.neuron_cards[m].num_neurons] for m in card.mouse_ids
+        },
+        input_shape=list(card.input_shape),
+        ds_name=card.ds_name,
+        git_hash="deadbeef",
+        hostname="ref-host",
+    )
+    payload.pop("output_dir", None)
+    with open(os.path.join(torch_dir, "args.yaml"), "w") as f:
+        yaml.safe_dump(
+            {k: v for k, v in payload.items() if not isinstance(v, tuple)}, f
+        )
+    ckpt = {
+        "epoch": 7,
+        "value": 0.1234,
+        "model": ref.state_dict(),
+        "scheduler": {
+            "mode": "max",
+            "num_reduce": 1,
+            "lr_wait": 3,
+            "best_value": 0.1234,
+            "factor": 0.3,
+            "device": torch.device("cpu"),
+        },
+    }
+    if scheduler_extra:
+        ckpt["scheduler"].update(scheduler_extra)
+    torch.save(ckpt, os.path.join(torch_dir, "ckpt", "model_state.pt"))
+    return torch_dir
+
+
+def test_import_roundtrip_forward_parity(tmp_path):
+    cfg = _config(behavior_mode=3, shift_mode=2)
+    card = _card()
+    ref = _reference_model(cfg, card)
+    torch_dir = _write_reference_run(str(tmp_path), cfg, card, ref)
+    out_dir = os.path.join(str(tmp_path), "imported")
+
+    summary = convert_run(
+        torch_dir, out_dir, overrides={"precision": "fp32"}
+    )
+    assert summary["structurally_validated"]
+    assert summary["epoch"] == 7
+    assert summary["mouse_ids"] == list(card.mouse_ids)
+
+    # restore exactly the way submission.py does (args.yaml replay + best
+    # checkpoint merge)
+    config = load_args(out_dir)
+    assert config.device == ""  # torch runtime field dropped
+    assert config.precision == "fp32"
+    model = build_model(config, card)
+    params, model_state = init_model_variables(model, seed=3)
+    scheduler = Scheduler(config, save_optimizer=False)
+    epoch, params, _, model_state = scheduler.restore(
+        params, model_state=model_state, force=True
+    )
+    assert epoch == 7
+    assert scheduler.num_reduce == 0  # counters load only on request
+    scheduler2 = Scheduler(config, save_optimizer=False)
+    scheduler2.restore(params, load_scheduler=True)
+    assert scheduler2.num_reduce == 1
+    assert scheduler2.lr_wait == 3
+    assert scheduler2.best_value == pytest.approx(0.1234)
+
+    images, behaviors, pupils = _inputs(card)
+    for mouse_id in card.mouse_ids:
+        with torch.no_grad():
+            t_out, _, _ = ref(
+                torch.from_numpy(images),
+                mouse_id=mouse_id,
+                behaviors=torch.from_numpy(behaviors),
+                pupil_centers=torch.from_numpy(pupils),
+            )
+        j_out, _, _ = model.apply(
+            {"params": params, **(model_state or {})},
+            images,
+            mouse_id=mouse_id,
+            behaviors=behaviors,
+            pupil_centers=pupils,
+            train=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_out), t_out.numpy(), rtol=2e-5, atol=2e-5,
+            err_msg=f"imported checkpoint diverged (mouse {mouse_id})",
+        )
+
+
+def test_import_without_args_yaml_infers_mice(tmp_path):
+    """A bare checkpoint (no args.yaml — e.g. weights pulled off the hub
+    without the run dir) still imports when the model hyper-parameters are
+    supplied as overrides; mouse_ids are recovered from the readout keys."""
+    cfg = _config()
+    card = _card()
+    ref = _reference_model(cfg, card)
+    torch_dir = _write_reference_run(str(tmp_path), cfg, card, ref)
+    os.remove(os.path.join(torch_dir, "args.yaml"))
+    out_dir = os.path.join(str(tmp_path), "imported_bare")
+
+    overrides = {
+        f.name: getattr(cfg, f.name)
+        for f in dataclasses.fields(cfg)
+        if f.name not in ("output_dir", "mouse_ids")
+    }
+    summary = convert_run(torch_dir, out_dir, overrides=overrides)
+    assert sorted(summary["mouse_ids"]) == sorted(card.mouse_ids)
+    # no input_shape recorded -> structural validation is skipped, but the
+    # parameter tree must still convert completely
+    assert not summary["structurally_validated"]
+    assert summary["num_parameters"] > 0
+    assert os.path.isfile(summary["checkpoint"])
+
+
+def test_import_stateful_core_batch_stats(tmp_path):
+    """stacked2d checkpoints carry BatchNorm running statistics; the import
+    must place them in the model_state collection (reference state_dict
+    includes buffers; our scheduler restores them alongside params)."""
+    cfg = _config(
+        core="stacked2d", num_layers=2, num_filters=8, dropout=0.1,
+        stacked2d_conv_type="ds",
+    )
+    card = _card()
+    ref = _reference_model(cfg, card)
+    # run one torch training-mode forward so running stats move off init
+    images, behaviors, pupils = _inputs(card)
+    ref.train()
+    ref(
+        torch.from_numpy(images), mouse_id=card.mouse_ids[0],
+        behaviors=torch.from_numpy(behaviors),
+        pupil_centers=torch.from_numpy(pupils),
+    )
+    ref.eval()
+    torch_dir = _write_reference_run(str(tmp_path), cfg, card, ref)
+    out_dir = os.path.join(str(tmp_path), "imported_bn")
+    summary = convert_run(torch_dir, out_dir, overrides={"precision": "fp32"})
+    assert summary["has_batch_stats"]
+
+    config = load_args(out_dir)
+    model = build_model(config, card)
+    params, model_state = init_model_variables(model, seed=3)
+    scheduler = Scheduler(config, save_optimizer=False)
+    _, params, _, model_state = scheduler.restore(
+        params, model_state=model_state, force=True
+    )
+    for mouse_id in card.mouse_ids:
+        with torch.no_grad():
+            t_out, _, _ = ref(
+                torch.from_numpy(images),
+                mouse_id=mouse_id,
+                behaviors=torch.from_numpy(behaviors),
+                pupil_centers=torch.from_numpy(pupils),
+            )
+        j_out, _, _ = model.apply(
+            {"params": params, **model_state},
+            images,
+            mouse_id=mouse_id,
+            behaviors=behaviors,
+            pupil_centers=pupils,
+            train=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_out), t_out.numpy(), rtol=2e-5, atol=2e-5,
+            err_msg=f"stateful import diverged (mouse {mouse_id})",
+        )
