@@ -8,6 +8,8 @@ Modes:
                              accumulation and optimizer updates — catches
                              host/pipeline regressions the headline can't
                              (reference loop: /root/reference/train.py:84-116)
+  python bench.py infer      serving throughput: eval-mode jitted forward
+                             (the submission.py / ensemble.py inference path)
 
 
 Runs the flagship configuration (emb 155, 4 blocks, 4 heads, mlp 488,
@@ -46,14 +48,13 @@ import numpy as np
 A100_REFERENCE_IMAGES_PER_SEC = 1000.0
 
 
-def main():
+def _flagship_case(batch_size: int):
+    """Flagship model + synthetic inputs shared by the train/infer benches."""
     from v1t_tpu.configs import Config
     from v1t_tpu.data.cards import synthetic_data_card
-    from v1t_tpu.losses import get_criterion
-    from v1t_tpu.models import build_model, model_regularizer
+    from v1t_tpu.models import build_model
     from v1t_tpu.models.model import init_model
 
-    batch_size = int(os.environ.get("V1T_BENCH_BATCH", 64))
     config = Config(
         core="vit",
         readout="gaussian2d",
@@ -75,7 +76,6 @@ def main():
     )
     model = build_model(config, card)
     params = init_model(model, seed=0, batch_size=1)
-    criterion = get_criterion(config, card.ds_sizes)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(batch_size, 1, 36, 64)), jnp.float32)
@@ -84,6 +84,17 @@ def main():
     responses = jnp.asarray(
         rng.poisson(2.0, size=(batch_size, 7000)), jnp.float32
     )
+    return config, card, model, params, (images, behaviors, pupils, responses)
+
+
+def main():
+    from v1t_tpu.losses import get_criterion
+    from v1t_tpu.models import model_regularizer
+
+    batch_size = int(os.environ.get("V1T_BENCH_BATCH", 64))
+    config, card, model, params, data = _flagship_case(batch_size)
+    images, behaviors, pupils, responses = data
+    criterion = get_criterion(config, card.ds_sizes)
 
     def loss_fn(p, step_rng):
         rngs = {
@@ -127,6 +138,50 @@ def main():
                 "vs_baseline": round(
                     images_per_sec / A100_REFERENCE_IMAGES_PER_SEC, 3
                 ),
+            }
+        )
+    )
+
+
+def main_infer():
+    """Serving throughput: eval-mode forward (mu readout locations, no
+    dropout, activate=True) — the inference path submission.py/ensemble.py
+    drive. vs_baseline scales the fwd+bwd A100 estimate by the forward
+    FLOP share (~34.3 of ~103 GFLOP/image, BENCH_NOTES.md) -> ~3000
+    images/sec A100 inference."""
+    batch_size = int(os.environ.get("V1T_BENCH_BATCH", 64))
+    _, _, model, params, data = _flagship_case(batch_size)
+    images, behaviors, pupils, _ = data
+
+    @jax.jit
+    def fwd(p):
+        y_pred, _, _ = model.apply(
+            {"params": p},
+            images,
+            mouse_id="A",
+            behaviors=behaviors,
+            pupil_centers=pupils,
+            train=False,
+        )
+        return y_pred
+
+    jax.block_until_ready(fwd(params))  # warmup / compile
+    iters = 60
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    images_per_sec = batch_size / dt
+    a100_infer = A100_REFERENCE_IMAGES_PER_SEC * 3.0  # forward-only FLOPs
+    print(
+        json.dumps(
+            {
+                "metric": "v1t_inference_images_per_sec_per_chip",
+                "value": round(images_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / a100_infer, 3),
             }
         )
     )
@@ -203,5 +258,7 @@ if __name__ == "__main__":
 
     if len(_sys.argv) > 1 and _sys.argv[1] == "epoch":
         main_epoch()
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "infer":
+        main_infer()
     else:
         main()

@@ -55,9 +55,28 @@ def _install_stubs():
                     )
 
             transforms.Resize = Resize
+
+            # torchvision.transforms.functional.resize (used by the
+            # reference attention_rollout.py:8,121 with antialias=False)
+            functional = types.ModuleType("torchvision.transforms.functional")
+
+            def resize(img, size, antialias=None):
+                x = img
+                unsqueeze = x.dim() == 3
+                if unsqueeze:
+                    x = x[None]
+                out = F.interpolate(
+                    x, size=tuple(size), mode="bilinear",
+                    align_corners=False, antialias=bool(antialias),
+                )
+                return out[0] if unsqueeze else out
+
+            functional.resize = resize
+            transforms.functional = functional
             tv.transforms = transforms
             sys.modules["torchvision"] = tv
             sys.modules["torchvision.transforms"] = transforms
+            sys.modules["torchvision.transforms.functional"] = functional
     if "torchinfo" not in sys.modules:
         try:
             import torchinfo  # noqa: F401
@@ -651,3 +670,63 @@ def test_vit_gaussian2d_gradient_parity():
             j_leaf, np.asarray(t_leaf), rtol=1e-4, atol=1e-5,
             err_msg=f"gradient diverged at {jax.tree_util.keystr(path)}",
         )
+
+
+@pytest.mark.slow  # ~2 min: imports the reference rollout stack + 2 compiles
+def test_attention_rollout_reference_parity():
+    """Interpretability parity (SURVEY §2.10): the exported post-softmax
+    attention probabilities and the rollout heatmaps must match the actual
+    reference Recorder + attention_rollout implementation
+    (reference src/v1t/utils/attention_rollout.py:15-133) on transplanted
+    weights."""
+    import jax.numpy as jnp
+
+    from v1t_tpu.analysis.attention_rollout import attention_rollouts
+
+    cfg = _config(behavior_mode=3, shift_mode=0)
+    card = _card(mouse_ids=("A",), num_neurons=(40,))
+    ref, model, params = _make_case(cfg, card)
+    from v1t.utils import attention_rollout as ref_rollout
+
+    mouse_id = card.mouse_ids[0]
+    images, behaviors, pupils = _inputs(card)
+
+    cropped, _ = model.apply(
+        {"params": params}, images, mouse_id=mouse_id, behaviors=behaviors,
+        pupil_centers=pupils, method="crop",
+    )
+    _, j_probs = model.apply(
+        {"params": params}, jnp.asarray(cropped), mouse_id=mouse_id,
+        behaviors=behaviors, pupil_centers=pupils, train=False,
+        return_probs=True, method="core_forward",
+    )
+
+    recorder = ref_rollout.Recorder(ref.core)
+    with torch.no_grad():
+        _, t_probs = recorder(
+            images=torch.from_numpy(np.asarray(cropped)),
+            behaviors=torch.from_numpy(behaviors),
+            pupil_centers=torch.from_numpy(pupils),
+            mouse_id=mouse_id,
+        )
+    recorder.eject()
+
+    j_probs = np.asarray(j_probs, np.float32)
+    assert j_probs.shape == tuple(t_probs.shape), (
+        f"probs shape {j_probs.shape} != reference {tuple(t_probs.shape)}"
+    )
+    np.testing.assert_allclose(
+        j_probs, t_probs.numpy(), rtol=2e-5, atol=2e-5,
+        err_msg="post-softmax attention probabilities diverged",
+    )
+
+    image_shape = tuple(np.asarray(cropped).shape[2:])
+    j_heat = attention_rollouts(j_probs, image_shape=image_shape)
+    with torch.no_grad():
+        t_heat = ref_rollout.attention_rollouts(
+            t_probs, image_shape=list(image_shape)
+        )
+    np.testing.assert_allclose(
+        j_heat, t_heat.numpy(), rtol=1e-4, atol=1e-4,
+        err_msg="attention rollout heatmaps diverged",
+    )
