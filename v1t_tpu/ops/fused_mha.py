@@ -65,6 +65,16 @@ import os as _os  # noqa: E402
 
 _FUSED_BLOCK_K_OVERRIDE = int(_os.environ.get("V1T_FUSED_BLOCK_K", "0"))
 
+# dt-form (transposed-operand) whole-sequence kernels: the head dim D=155
+# pads to 256 MXU lanes (1.65x the algorithmic MACs) whenever it is the
+# contraction or the innermost output dim, but only to 160 sublanes (1.03x)
+# when transposed. Measured per-matmul (v5e, slope method,
+# misc/bench_dtform_matmul.py): pv lane-out 13.5 us vs out^T = v^T x p
+# lane-lane 6.4; dk/dv sublane-aligned 13.9 vs transposed 4.5 (192 TF/s);
+# dq 13.5 vs k^T-form 6.4. Read once at import so the traced kernel config
+# cannot diverge from what save_args records within a process.
+_DT_FORM = _os.environ.get("V1T_DT_FORM", "1") not in ("0", "false")
+
 
 def _choose_blocks(n: int) -> t.Tuple[int, int, int]:
     """Returns (npad, block_q, block_k) for sequence length n.
@@ -241,6 +251,280 @@ def _mha_fwd_kernel(
         # the XLA residual add's rounding (sum in fp32, one bf16 round)
         out_val = out_val + _z(pl.ds(qi * block_q, block_q))
     out_ref[0] = out_val
+
+
+def _mha_fwd_kernel_dt(
+    seed_ref,
+    x_ref, brow_ref, g_ref, beta_ref, wqkv_ref, wp_ref, bp_ref, scale_ref,
+    out_ref, ohT_ref, lse_ref,
+    acc_scr, ln_scr,
+    *, n_real: int, num_heads: int,
+    use_lsa: bool, dropout_rate: float, deterministic: bool,
+    out_dropout: bool, fold_residual: bool,
+):
+    """Whole-sequence forward in dt-form: v is held transposed (D, N) so the
+    pv matmul contracts over the lane-aligned token axis instead of padding
+    D 155->256 on lanes, and the output projection contracts D on sublanes.
+    Softmax/dropout/LSA masks operate on p in the same (q, k) orientation as
+    the legacy kernel — the regenerated masks are bit-identical."""
+    b, h = pl.program_id(0), pl.program_id(1)
+    npad = x_ref.shape[1]
+
+    def _z():
+        return x_ref[0] + brow_ref[0]
+
+    @pl.when(h == 0)
+    def _compute_ln():
+        ln, _, _ = _layernorm(_z().astype(jnp.float32), g_ref[0], beta_ref[0])
+        ln_scr[...] = ln.astype(ln_scr.dtype)
+
+    ln = ln_scr[...]
+    k = jax.lax.dot(
+        ln, wqkv_ref[1, h], preferred_element_type=jnp.float32
+    ).astype(ln.dtype)
+    # v^T (D, N): contraction over E rides sublanes of Wv / lanes of ln
+    vT = jax.lax.dot_general(
+        wqkv_ref[2, h], ln, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(ln.dtype)
+    scale = scale_ref[0, h]
+    q = (
+        jax.lax.dot(ln, wqkv_ref[0, h], preferred_element_type=jnp.float32)
+        * scale
+    ).astype(ln.dtype)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if use_lsa:
+        mask = _block_mask(0, 0, s.shape, n_real, use_lsa)
+        s = jnp.where(mask, s, MASK_VALUE)
+    else:
+        s = s + _key_pad_bias(0, s.shape[1], n_real)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if dropout_rate > 0.0 and not deterministic:
+        bh = b * num_heads + h
+        keep = _dropout_keep_mask(
+            seed_ref[0], bh, 0, 0, 1, 1, s.shape, 1.0 - dropout_rate
+        )
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    # out^T (D, N) = v^T x p^T: lane-lane contraction over the aligned key
+    # axis — no transpose of p is needed, dims ((1,), (1,)) contract k
+    outT = jax.lax.dot_general(
+        vT, p.astype(vT.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    oT = (outT * l_inv.T).astype(ohT_ref.dtype)
+    ohT_ref[0, 0] = oT
+    lse_val = m + jnp.log(jnp.maximum(l, 1e-37))
+    lse_ref[0, 0] = jnp.broadcast_to(lse_val.T, (8, npad))
+
+    # head output projection: contraction over D on sublanes (pad 160, not
+    # 256) — accumulated across head passes as in the legacy kernel
+    proj = jax.lax.dot_general(
+        oT, wp_ref[h], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(h == 0)
+    def _init_acc():
+        acc_scr[...] = proj + bp_ref[0][None, :].astype(jnp.float32)
+
+    @pl.when(h > 0)
+    def _add_acc():
+        acc_scr[...] += proj
+
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (npad, out_ref.shape[-1]), 0
+    )
+    val = jnp.where(row_ids < n_real, acc_scr[...], 0.0)
+    if out_dropout and dropout_rate > 0.0 and not deterministic:
+        keep = _out_keep_mask(seed_ref[0], b, 0, 1, val.shape,
+                              1.0 - dropout_rate)
+        val = jnp.where(keep, val / (1.0 - dropout_rate), 0.0)
+    out_val = val.astype(out_ref.dtype)
+    if fold_residual:
+        out_val = out_val + _z()
+    out_ref[0] = out_val
+
+
+def _mha_bwd_kernel_dt(
+    seed_ref,
+    x_ref, brow_ref, g_ref, beta_ref, wqkv_ref, wp_ref, scale_ref, dout_ref,
+    ohT_ref, lse_ref,
+    dx_ref, dg_ref, dbeta_ref, dwqT_ref, dwkT_ref, dwvT_ref, dwp_ref,
+    dscale_ref, dbp_ref, dbrow_ref,
+    dx_scr, ln_scr, dbp_scr,
+    *, n_real: int, num_heads: int,
+    use_lsa: bool, dropout_rate: float, deterministic: bool,
+    out_dropout: bool, fold_residual: bool,
+):
+    """Whole-sequence backward in dt-form. Every N^2 matmul whose output or
+    contraction would put D on lanes runs transposed instead:
+      dp  = do^T x v^T   (sublane contraction over D, pad 160)
+      dq^T = k^T x ds    (lane-lane contraction over aligned keys)
+      dk^T = q^T x ds    (lanes x sublanes over aligned queries)
+      dv^T = do^T x p    (lanes x sublanes over aligned queries)
+    Weight gradients are emitted transposed (D, E) and transposed back by
+    XLA outside the kernel (155x155 — negligible)."""
+    b, h = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(h == 0)
+    def _init_per_batch():
+        ln, _, _ = _layernorm(
+            (x_ref[0] + brow_ref[0]).astype(jnp.float32),
+            g_ref[0], beta_ref[0],
+        )
+        ln_scr[...] = ln.astype(ln_scr.dtype)
+        dx_scr[...] = jnp.zeros_like(dx_scr)
+        dbp_scr[...] = jnp.zeros_like(dbp_scr)
+
+    ln = ln_scr[...]
+    scale = scale_ref[0, h]
+    k = jax.lax.dot(
+        ln, wqkv_ref[1, h], preferred_element_type=jnp.float32
+    ).astype(ln.dtype)
+    kT = jax.lax.dot_general(
+        wqkv_ref[1, h], ln, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(ln.dtype)
+    vT = jax.lax.dot_general(
+        wqkv_ref[2, h], ln, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(ln.dtype)
+    qrawT = jax.lax.dot_general(
+        wqkv_ref[0, h], ln, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, N) fp32
+    qT = (qrawT * scale).astype(ln.dtype)
+    q = (
+        jax.lax.dot(ln, wqkv_ref[0, h], preferred_element_type=jnp.float32)
+        * scale
+    ).astype(ln.dtype)
+
+    dout_raw = dout_ref[0]  # (N, E)
+    dout = dout_raw
+    if out_dropout and dropout_rate > 0.0 and not deterministic:
+        keep = _out_keep_mask(seed_ref[0], b, 0, 1, dout.shape,
+                              1.0 - dropout_rate)
+        dout = jnp.where(
+            keep, dout * jnp.asarray(1.0 / (1.0 - dropout_rate), dout.dtype),
+            jnp.asarray(0.0, dout.dtype),
+        )
+
+    @pl.when(h == 0)
+    def _acc_dbp():
+        dbp_scr[...] += jnp.sum(
+            dout.astype(jnp.float32), axis=0, keepdims=True
+        )
+
+    # do^T (D, N) = Wp_h x dout^T: lane-lane contraction over E
+    doT = jax.lax.dot_general(
+        wp_ref[h], dout, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    oT = ohT_ref[0, 0]  # (D, N)
+    delta_row = jnp.sum(doT * oT.astype(jnp.float32), axis=0, keepdims=True)
+    lse = lse_ref[0, 0][:1, :].T  # (N, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if use_lsa:
+        mask = _block_mask(0, 0, s.shape, n_real, use_lsa)
+        s = jnp.where(mask, s, MASK_VALUE)
+    else:
+        s = s + _key_pad_bias(0, s.shape[1], n_real)
+    p = jnp.exp(s - lse)
+    doT_b = doT.astype(ln.dtype)
+    dp_raw = jax.lax.dot_general(
+        doT_b, vT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, N): sublane contraction over D
+    if dropout_rate > 0.0 and not deterministic:
+        bh = b * num_heads + h
+        keep = _dropout_keep_mask(
+            seed_ref[0], bh, 0, 0, 1, 1, s.shape, 1.0 - dropout_rate
+        )
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_dropped = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp_raw * inv_keep, 0.0)
+    else:
+        p_dropped = p
+        dp = dp_raw
+    ds = (p * (dp - delta_row.T)).astype(ln.dtype)
+    dqT = jax.lax.dot_general(
+        kT, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (D, N) over keys
+    dkT = jax.lax.dot_general(
+        qT, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (D, N) over queries
+    dvT = jax.lax.dot_general(
+        doT_b, p_dropped.astype(ln.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, N) over queries
+
+    dscale_ref[0, 0] = jnp.broadcast_to(jnp.sum(qrawT * dqT), (8, 128))
+    dqrawT_b = (dqT * scale).astype(ln.dtype)
+    dkT_b = dkT.astype(ln.dtype)
+    dvT_b = dvT.astype(ln.dtype)
+    # d(ln) contributions: contraction over D (sublanes of the transposed
+    # gradients x lanes of the weights)
+    dx_scr[...] += jax.lax.dot_general(
+        dqrawT_b, wqkv_ref[0, h], (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_scr[...] += jax.lax.dot_general(
+        dkT_b, wqkv_ref[1, h], (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_scr[...] += jax.lax.dot_general(
+        dvT_b, wqkv_ref[2, h], (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # transposed weight gradients (D, E): contraction over the aligned
+    # token axis
+    dwqT_ref[0, 0] = jax.lax.dot_general(
+        dqrawT_b, ln, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwkT_ref[0, 0] = jax.lax.dot_general(
+        dkT_b, ln, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwvT_ref[0, 0] = jax.lax.dot_general(
+        dvT_b, ln, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwp_ref[0, 0] = jax.lax.dot_general(
+        oT, dout, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, E) over tokens
+
+    @pl.when(h == num_heads - 1)
+    def _write_dx():
+        gamma = g_ref[0]
+        _, xhat, inv = _layernorm(
+            (x_ref[0] + brow_ref[0]).astype(jnp.float32),
+            gamma, beta_ref[0],
+        )
+        dln = dx_scr[...]
+        dg_ref[0] = jnp.sum(dln * xhat, axis=0, keepdims=True)
+        dbeta_ref[0] = jnp.sum(dln, axis=0, keepdims=True)
+        dbp_ref[0] = dbp_scr[...]
+        dxhat = dln * gamma
+        dx = inv * (
+            dxhat
+            - jnp.mean(dxhat, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        )
+        if fold_residual:
+            dx = dx + dout_raw.astype(jnp.float32)
+        dbrow_ref[0] = jnp.sum(dx, axis=0, keepdims=True)
+        dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 def _mha_bwd_kernel(
@@ -438,13 +722,140 @@ def _mha_bwd_kernel(
 
 
 def _pack_static(n_real, num_heads, nq, nk, block_k, use_lsa, dropout_rate,
-                 deterministic, out_dropout, fold_residual):
+                 deterministic, out_dropout, fold_residual, dt=False):
     return dict(
         n_real=n_real, num_heads=num_heads, nq=nq, nk=nk, block_k=block_k,
         use_lsa=use_lsa, dropout_rate=dropout_rate,
         deterministic=deterministic, out_dropout=out_dropout,
-        fold_residual=fold_residual,
+        fold_residual=fold_residual, dt=dt,
     )
+
+
+def _dt_cfg(cfg):
+    """cfg subset the dt kernels take (whole-sequence: no block tiling)."""
+    return {
+        k: v for k, v in cfg.items() if k not in ("nq", "nk", "block_k", "dt")
+    }
+
+
+def _legacy_cfg(cfg):
+    return {k: v for k, v in cfg.items() if k != "dt"}
+
+
+def _mha_forward_dt(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *,
+                    cfg):
+    b, npad, e = x_pad.shape
+    d = wqkv.shape[-1]
+    h = cfg["num_heads"]
+    grid = (b, h)
+    out, ohT, lse = pl.pallas_call(
+        functools.partial(_mha_fwd_kernel_dt, **_dt_cfg(cfg)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),  # gamma
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),  # beta
+                pl.BlockSpec((3, h, e, d), lambda bi, hi, *_: (0, 0, 0, 0)),
+                pl.BlockSpec((h, d, e), lambda bi, hi, *_: (0, 0, 0)),
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, d, npad), lambda bi, hi, *_: (bi, hi, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8, npad), lambda bi, hi, *_: (bi, hi, 0, 0)
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((npad, e), jnp.float32),   # projection accum
+                pltpu.VMEM((npad, e), x_pad.dtype),   # layernorm(x)
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, e), x_pad.dtype),
+            jax.ShapeDtypeStruct((b, h, d, npad), x_pad.dtype),
+            jax.ShapeDtypeStruct((b, h, 8, npad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(seed, x_pad, brow, gamma, beta, wqkv, wp, bp, scale)
+    return out, ohT, lse
+
+
+def _mha_backward_dt(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, ohT,
+                     lse, dout, *, cfg):
+    b, npad, e = x_pad.shape
+    d = wqkv.shape[-1]
+    h = cfg["num_heads"]
+    grid = (b, h)
+    (dx, dg, dbeta, dwqT, dwkT, dwvT, dwp, dscale, dbp,
+     dbrow) = pl.pallas_call(
+        functools.partial(_mha_bwd_kernel_dt, **_dt_cfg(cfg)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),  # gamma
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),  # beta
+                pl.BlockSpec((3, h, e, d), lambda bi, hi, *_: (0, 0, 0, 0)),
+                pl.BlockSpec((h, d, e), lambda bi, hi, *_: (0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, d, npad), lambda bi, hi, *_: (bi, hi, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8, npad), lambda bi, hi, *_: (bi, hi, 0, 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, d, e), lambda bi, hi, *_: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, d, e), lambda bi, hi, *_: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, d, e), lambda bi, hi, *_: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, d, e), lambda bi, hi, *_: (bi, hi, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 8, 128), lambda bi, hi, *_: (bi, hi, 0, 0)
+                ),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((npad, e), jnp.float32),   # d(ln) accumulator
+                pltpu.VMEM((npad, e), x_pad.dtype),   # layernorm(x)
+                pltpu.VMEM((1, e), jnp.float32),      # dbp
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, e), x_pad.dtype),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, d, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, d, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, d, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, d, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(seed, x_pad, brow, gamma, beta, wqkv, wp, scale, dout, ohT, lse)
+    return dx, dg, dbeta, dwqT, dwkT, dwvT, dwp, dscale, dbp, dbrow
 
 
 def _mha_forward(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
@@ -455,7 +866,7 @@ def _mha_forward(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
     bq = npad // nq
     grid = (b, h, nq)
     out, oh, lse = pl.pallas_call(
-        functools.partial(_mha_fwd_kernel, **cfg),
+        functools.partial(_mha_fwd_kernel, **_legacy_cfg(cfg)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -508,7 +919,7 @@ def _mha_backward(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse,
     bq = npad // nq
     grid = (b, h, nq)
     dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp, dbrow = pl.pallas_call(
-        functools.partial(_mha_bwd_kernel, **cfg),
+        functools.partial(_mha_bwd_kernel, **_legacy_cfg(cfg)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -580,7 +991,8 @@ def _mha_backward(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _mha_core(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed):
     cfg = _pack_static(*static_cfg)
-    out, _, _ = _mha_forward(
+    fwd = _mha_forward_dt if cfg["dt"] else _mha_forward
+    out, _, _ = fwd(
         x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
     )
     return out
@@ -589,7 +1001,8 @@ def _mha_core(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed):
 def _mha_core_fwd(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale,
                   seed):
     cfg = _pack_static(*static_cfg)
-    out, oh, lse = _mha_forward(
+    fwd = _mha_forward_dt if cfg["dt"] else _mha_forward
+    out, oh, lse = fwd(
         x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
     )
     return out, (x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse)
@@ -598,10 +1011,16 @@ def _mha_core_fwd(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale,
 def _mha_core_bwd(static_cfg, residuals, dout):
     cfg = _pack_static(*static_cfg)
     x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse = residuals
-    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp_p, dbrow = _mha_backward(
+    bwd = _mha_backward_dt if cfg["dt"] else _mha_backward
+    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp_p, dbrow = bwd(
         x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse,
         dout.astype(x_pad.dtype), cfg=cfg,
     )
+    if cfg["dt"]:
+        # dt kernels emit per-(b, h) weight gradients transposed (D, E)
+        dwq = jnp.swapaxes(dwq, -1, -2)
+        dwk = jnp.swapaxes(dwk, -1, -2)
+        dwv = jnp.swapaxes(dwv, -1, -2)
     dwqkv = jnp.stack(
         [jnp.sum(dwq, axis=0), jnp.sum(dwk, axis=0), jnp.sum(dwv, axis=0)],
         axis=0,
@@ -703,7 +1122,7 @@ def fused_mha(
     static_cfg = (
         n, int(num_heads), nq, nk, block_k, bool(use_lsa),
         float(dropout_rate), bool(deterministic), bool(fold_out_dropout),
-        bool(fold_residual),
+        bool(fold_residual), bool(_DT_FORM and nq == 1 and nk == 1),
     )
     scale = jnp.broadcast_to(
         jnp.asarray(scale, jnp.float32).reshape(-1), (num_heads,)
