@@ -295,3 +295,54 @@ def test_model_auto_dispatch_uses_fused_kernel():
 
     hlo = jax.jit(fwd).lower(params, *args).compile().as_text()
     assert "ops/fused_mha.py" in hlo, "vit fell back to the composed path"
+
+
+def test_dt_vs_legacy_kernels():
+    """The dt-form (transposed-operand) whole-sequence kernels must agree
+    with the legacy blocked kernels: same math, different MXU orientation —
+    only bf16 accumulation-order noise may differ. Dropout masks are
+    regenerated from the same (seed, uid) streams, so stochastic outputs
+    are compared with the SAME rng."""
+    import v1t_tpu.ops.fused_mha as m
+
+    args = _params(b=2, n=300, e=32, h=4)
+
+    def run(dt, **kw):
+        old = m._DT_FORM
+        m._DT_FORM = dt
+        try:
+            return fused_mha(*args, **kw)
+        finally:
+            m._DT_FORM = old
+
+    for kw in (
+        dict(deterministic=True),
+        dict(deterministic=True, use_lsa=True),
+    ):
+        a = run(True, **kw).astype(jnp.float32)
+        b = run(False, **kw).astype(jnp.float32)
+        assert float(jnp.max(jnp.abs(a - b))) < 3e-3, kw
+
+    # gradients: dt vs legacy on the same loss
+    def loss(dt, *a):
+        old = m._DT_FORM
+        m._DT_FORM = dt
+        try:
+            out = fused_mha(*a, use_lsa=True, deterministic=True)
+        finally:
+            m._DT_FORM = old
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_dt = jax.grad(functools.partial(loss, True), argnums=tuple(range(7)))(
+        *args
+    )
+    g_le = jax.grad(functools.partial(loss, False), argnums=tuple(range(7)))(
+        *args
+    )
+    names = ("x", "gamma", "beta", "wqkv", "wp", "bp", "scale")
+    for name, a, b in zip(names, g_dt, g_le):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        denom = float(jnp.max(jnp.abs(b))) + 1e-6
+        rel = float(jnp.max(jnp.abs(a - b))) / denom
+        assert rel < 2e-2, (name, rel)
