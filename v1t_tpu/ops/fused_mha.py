@@ -137,14 +137,17 @@ def _layernorm(x32, gamma, beta, eps=1e-5):  # torch nn.LayerNorm default
 def _mha_fwd_kernel(
     seed_ref,
     x_ref, brow_ref, g_ref, beta_ref, wqkv_ref, wp_ref, bp_ref, scale_ref,
-    out_ref, oh_ref, lse_ref,
-    kv_scr, acc_scr, ln_scr,
-    *, n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
+    out_ref, *refs,
+    n_real: int, num_heads: int, nq: int, nk: int, block_k: int,
     use_lsa: bool, dropout_rate: float, deterministic: bool,
-    out_dropout: bool, fold_residual: bool,
+    out_dropout: bool, fold_residual: bool, save_residuals: bool = True,
 ):
+    if save_residuals:
+        oh_ref, lse_ref, kv_scr, acc_scr, ln_scr = refs
+    else:
+        kv_scr, acc_scr, ln_scr = refs
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    block_q = oh_ref.shape[2]
+    block_q = out_ref.shape[1]
 
     def _z(rows=None):
         # the sublayer input: x plus the folded per-batch bias row (the
@@ -207,10 +210,11 @@ def _mha_fwd_kernel(
         )
 
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o_h = (acc * l_inv).astype(oh_ref.dtype)
-    oh_ref[0, 0] = o_h
-    lse_val = m + jnp.log(jnp.maximum(l, 1e-37))
-    lse_ref[0, 0] = jnp.broadcast_to(lse_val.T, (8, block_q))
+    o_h = (acc * l_inv).astype(out_ref.dtype)
+    if save_residuals:
+        oh_ref[0, 0] = o_h
+        lse_val = m + jnp.log(jnp.maximum(l, 1e-37))
+        lse_ref[0, 0] = jnp.broadcast_to(lse_val.T, (8, block_q))
 
     # accumulate this head's output projection; the full row block is
     # written back every head pass — the last head's writeback is final
@@ -256,12 +260,15 @@ def _mha_fwd_kernel(
 def _mha_fwd_kernel_dt(
     seed_ref,
     x_ref, brow_ref, g_ref, beta_ref, wqkv_ref, wp_ref, bp_ref, scale_ref,
-    out_ref, ohT_ref, lse_ref,
-    acc_scr, ln_scr,
-    *, n_real: int, num_heads: int,
+    out_ref, *refs,
+    n_real: int, num_heads: int,
     use_lsa: bool, dropout_rate: float, deterministic: bool,
-    out_dropout: bool, fold_residual: bool,
+    out_dropout: bool, fold_residual: bool, save_residuals: bool = True,
 ):
+    if save_residuals:
+        ohT_ref, lse_ref, acc_scr, ln_scr = refs
+    else:
+        acc_scr, ln_scr = refs
     """Whole-sequence forward in dt-form: v is held transposed (D, N) so the
     pv matmul contracts over the lane-aligned token axis instead of padding
     D 155->256 on lanes, and the output projection contracts D on sublanes.
@@ -317,10 +324,11 @@ def _mha_fwd_kernel_dt(
         preferred_element_type=jnp.float32,
     )
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    oT = (outT * l_inv.T).astype(ohT_ref.dtype)
-    ohT_ref[0, 0] = oT
-    lse_val = m + jnp.log(jnp.maximum(l, 1e-37))
-    lse_ref[0, 0] = jnp.broadcast_to(lse_val.T, (8, npad))
+    oT = (outT * l_inv.T).astype(out_ref.dtype)
+    if save_residuals:
+        ohT_ref[0, 0] = oT
+        lse_val = m + jnp.log(jnp.maximum(l, 1e-37))
+        lse_ref[0, 0] = jnp.broadcast_to(lse_val.T, (8, npad))
 
     # head output projection: contraction over D on sublanes (pad 160, not
     # 256) — accumulated across head passes as in the legacy kernel
@@ -743,13 +751,25 @@ def _legacy_cfg(cfg):
 
 
 def _mha_forward_dt(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *,
-                    cfg):
+                    cfg, save_residuals=True):
     b, npad, e = x_pad.shape
     d = wqkv.shape[-1]
     h = cfg["num_heads"]
     grid = (b, h)
-    out, ohT, lse = pl.pallas_call(
-        functools.partial(_mha_fwd_kernel_dt, **_dt_cfg(cfg)),
+    res_specs = [
+        pl.BlockSpec((1, 1, d, npad), lambda bi, hi, *_: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, 8, npad), lambda bi, hi, *_: (bi, hi, 0, 0)),
+    ]
+    res_shapes = [
+        jax.ShapeDtypeStruct((b, h, d, npad), x_pad.dtype),
+        jax.ShapeDtypeStruct((b, h, 8, npad), jnp.float32),
+    ]
+    if not save_residuals:
+        res_specs, res_shapes = [], []
+    results = pl.pallas_call(
+        functools.partial(
+            _mha_fwd_kernel_dt, save_residuals=save_residuals, **_dt_cfg(cfg)
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -765,13 +785,7 @@ def _mha_forward_dt(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *,
             ],
             out_specs=[
                 pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
-                pl.BlockSpec(
-                    (1, 1, d, npad), lambda bi, hi, *_: (bi, hi, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, 8, npad), lambda bi, hi, *_: (bi, hi, 0, 0)
-                ),
-            ],
+            ] + res_specs,
             scratch_shapes=[
                 pltpu.VMEM((npad, e), jnp.float32),   # projection accum
                 pltpu.VMEM((npad, e), x_pad.dtype),   # layernorm(x)
@@ -779,15 +793,15 @@ def _mha_forward_dt(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, npad, e), x_pad.dtype),
-            jax.ShapeDtypeStruct((b, h, d, npad), x_pad.dtype),
-            jax.ShapeDtypeStruct((b, h, 8, npad), jnp.float32),
-        ],
+        ] + res_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(seed, x_pad, brow, gamma, beta, wqkv, wp, bp, scale)
-    return out, ohT, lse
+    if not save_residuals:
+        return results[0], None, None
+    return tuple(results)
 
 
 def _mha_backward_dt(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, ohT,
@@ -858,15 +872,29 @@ def _mha_backward_dt(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, ohT,
     return dx, dg, dbeta, dwqT, dwkT, dwvT, dwp, dscale, dbp, dbrow
 
 
-def _mha_forward(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
+def _mha_forward(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg,
+                 save_residuals=True):
     b, npad, e = x_pad.shape
     d = wqkv.shape[-1]
     h = cfg["num_heads"]
     nq = cfg["nq"]
     bq = npad // nq
     grid = (b, h, nq)
-    out, oh, lse = pl.pallas_call(
-        functools.partial(_mha_fwd_kernel, **_legacy_cfg(cfg)),
+    res_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, *_: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, 8, bq), lambda bi, hi, qi, *_: (bi, hi, 0, qi)),
+    ]
+    res_shapes = [
+        jax.ShapeDtypeStruct((b, h, npad, d), x_pad.dtype),
+        jax.ShapeDtypeStruct((b, h, 8, npad), jnp.float32),
+    ]
+    if not save_residuals:
+        res_specs, res_shapes = [], []
+    results = pl.pallas_call(
+        functools.partial(
+            _mha_fwd_kernel, save_residuals=save_residuals,
+            **_legacy_cfg(cfg)
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -882,13 +910,7 @@ def _mha_forward(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
             ],
             out_specs=[
                 pl.BlockSpec((1, bq, e), lambda bi, hi, qi, *_: (bi, qi, 0)),
-                pl.BlockSpec(
-                    (1, 1, bq, d), lambda bi, hi, qi, *_: (bi, hi, qi, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, 8, bq), lambda bi, hi, qi, *_: (bi, hi, 0, qi)
-                ),
-            ],
+            ] + res_specs,
             scratch_shapes=[
                 pltpu.VMEM((2, npad, d), x_pad.dtype),
                 pltpu.VMEM((npad, e), jnp.float32),
@@ -897,9 +919,7 @@ def _mha_forward(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, npad, e), x_pad.dtype),
-            jax.ShapeDtypeStruct((b, h, npad, d), x_pad.dtype),
-            jax.ShapeDtypeStruct((b, h, 8, npad), jnp.float32),
-        ],
+        ] + res_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             # whole-sequence mode holds (npad, npad) fp32 score/probability
@@ -907,7 +927,9 @@ def _mha_forward(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(seed, x_pad, brow, gamma, beta, wqkv, wp, bp, scale)
-    return out, oh, lse
+    if not save_residuals:
+        return results[0], None, None
+    return tuple(results)
 
 
 def _mha_backward(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse,
@@ -990,10 +1012,14 @@ def _mha_backward(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _mha_core(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed):
+    # primal (not-being-differentiated) path — eval/serving: skip the
+    # per-head output + LSE residual writebacks entirely (132 MB/block at
+    # the flagship shapes)
     cfg = _pack_static(*static_cfg)
     fwd = _mha_forward_dt if cfg["dt"] else _mha_forward
     out, _, _ = fwd(
-        x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
+        x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg,
+        save_residuals=False,
     )
     return out
 
