@@ -11,6 +11,12 @@ batch 1) twice on the available chip(s):
 
 Prints both step times; the SP path must stay within ~2x of the composed
 path at equal resources (VERDICT round 2, next-step #5 done-criterion).
+
+grad_checkpointing is OFF: with O(N)-memory flash attention the full
+34k-token activation set fits HBM easily at these batch sizes, and the
+checkpointed re-forward costs ~22% of the step (0.832 -> 0.645 s/step
+measured round 3) — exactly SURVEY §7's "jax.checkpoint largely obsoleted
+by flash attention". The flag still exists for memory-constrained runs.
 """
 
 import os
@@ -44,7 +50,7 @@ def build_step(batch_size=1):
         core="vit", readout="gaussian2d", behavior_mode=3, shift_mode=2,
         batch_size=batch_size, precision="bf16", attention_impl="auto",
         resize_image=0, core_reg_scale=0.5379, readout_reg_scale=0.0076,
-        lr=0.001647, grad_checkpointing=1,
+        lr=0.001647, grad_checkpointing=0,
     )
     card = synthetic_data_card(
         mouse_ids=("A",), num_neurons=7000, input_shape=(1, 144, 256),

@@ -85,6 +85,24 @@ def _block_mask(qi, kj, shape, n_real: int, use_lsa: bool):
     return mask
 
 
+def _key_pad_bias(kj, block_k: int, n_real: int):
+    """(1, block_k) additive score bias: 0 on real keys, MASK_VALUE on pad
+    columns. In the no-LSA case this replaces the full-matrix mask build +
+    select (iota + compare + select per score element) with one broadcast
+    add — the blocked kernels run thousands of (q, k) tiles per 34k-token
+    step, and the per-tile VPU mask work is a material share of the gap to
+    the MXU roofline."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + kj * block_k
+    return jnp.where(col < n_real, 0.0, MASK_VALUE)
+
+
+def _apply_mask(s, qi, kj, n_real: int, use_lsa: bool):
+    if use_lsa:
+        mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
+        return jnp.where(mask, s, MASK_VALUE)
+    return s + _key_pad_bias(kj, s.shape[1], n_real)
+
+
 # --- forward -------------------------------------------------------------------
 
 
@@ -110,8 +128,7 @@ def _fwd_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BLOCK_Q, BLOCK_K)
 
-    mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-    s = jnp.where(mask, s, MASK_VALUE)
+    s = _apply_mask(s, qi, kj, n_real, use_lsa)
 
     m_prev = m_scr[:, :1]
     l_prev = l_scr[:, :1]
@@ -173,8 +190,7 @@ def _fwd_kernel_fullk(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-        s = jnp.where(mask, s, MASK_VALUE)
+        s = _apply_mask(s, qi, kj, n_real, use_lsa)
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m, m_curr)
         alpha = jnp.exp(m - m_next)
@@ -233,8 +249,7 @@ def _merged_bwd_kernel_fullk(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-        s = jnp.where(mask, s, MASK_VALUE)
+        s = _apply_mask(s, qi, kj, n_real, use_lsa)
         p = jnp.exp(s - lse)
         dp_raw = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -388,8 +403,7 @@ def _dq_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-    s = jnp.where(mask, s, MASK_VALUE)
+    s = _apply_mask(s, qi, kj, n_real, use_lsa)
     p = jnp.exp(s - lse)
 
     dp = jax.lax.dot_general(
@@ -437,8 +451,7 @@ def _dkv_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BLOCK_Q, BLOCK_K)
-    mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-    s = jnp.where(mask, s, MASK_VALUE)
+    s = _apply_mask(s, qi, kj, n_real, use_lsa)
     p = jnp.exp(s - lse)
 
     if dropout_rate > 0.0 and not deterministic:
@@ -514,8 +527,7 @@ def _merged_bwd_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BLOCK_Q, BLOCK_K)
-    mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-    s = jnp.where(mask, s, MASK_VALUE)
+    s = _apply_mask(s, qi, kj, n_real, use_lsa)
     p = jnp.exp(s - lse)
 
     dp_raw = jax.lax.dot_general(

@@ -47,6 +47,7 @@ from v1t_tpu.ops.flash_attention import (
     MASK_VALUE,
     _block_mask,
     _dropout_keep_mask,
+    _key_pad_bias,
     _round_up,
 )
 
@@ -114,16 +115,6 @@ def _out_keep_mask(seed, b, qi, nq, shape, keep_prob: float):
     pltpu.prng_seed(seed + _OUT_DROP_SALT + b * nq + qi)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     return bits < jnp.uint32(keep_prob * 4294967295.0)
-
-
-def _key_pad_bias(kj, block_k: int, n_real: int):
-    """(1, block_k) additive score bias: 0 on real keys, MASK_VALUE on pad
-    columns. In the no-LSA case this replaces the full-matrix mask build +
-    select (iota + compare + select per score element) with one broadcast
-    add — the backward kernel is VPU-bound, so full-matrix elementwise ops
-    are what the score path pays for."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + kj * block_k
-    return jnp.where(col < n_real, 0.0, MASK_VALUE)
 
 
 def _layernorm(x32, gamma, beta, eps=1e-5):  # torch nn.LayerNorm default
