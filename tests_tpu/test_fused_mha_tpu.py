@@ -346,3 +346,24 @@ def test_dt_vs_legacy_kernels():
         denom = float(jnp.max(jnp.abs(b))) + 1e-6
         rel = float(jnp.max(jnp.abs(a - b))) / denom
         assert rel < 2e-2, (name, rel)
+
+
+@pytest.mark.parametrize(
+    "b,n,e,h",
+    [
+        (1, 128, 16, 1),    # single head, minimal rows
+        (2, 129, 32, 3),    # non-128-multiple tokens, odd head count
+        (1, 2048, 24, 2),   # whole-sequence boundary (WHOLE_SEQ_MAX)
+        (2, 2176, 16, 2),   # just past the boundary: blocked fallback
+    ],
+)
+def test_dt_shape_sweep(b, n, e, h):
+    """dt kernels across shape corners: parity vs the composed XLA path
+    for both deterministic and LSA variants."""
+    args = _params(b=b, n=n, e=e, h=h, seed=b + n)
+    out = fused_mha(*args, deterministic=True)
+    ref = _composed(*args, use_lsa=False)
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) < 6e-3
+    out = fused_mha(*args, deterministic=True, use_lsa=True)
+    ref = _composed(*args, use_lsa=True)
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) < 6e-3
