@@ -45,9 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from v1t_tpu.ops.flash_attention import (
     MASK_VALUE,
-    _block_mask,
+    _apply_mask,
     _dropout_keep_mask,
-    _key_pad_bias,
     _round_up,
 )
 
@@ -74,7 +73,9 @@ _FUSED_BLOCK_K_OVERRIDE = int(_os.environ.get("V1T_FUSED_BLOCK_K", "0"))
 # lane-lane 6.4; dk/dv sublane-aligned 13.9 vs transposed 4.5 (192 TF/s);
 # dq 13.5 vs k^T-form 6.4. Read once at import so the traced kernel config
 # cannot diverge from what save_args records within a process.
-_DT_FORM = _os.environ.get("V1T_DT_FORM", "1") not in ("0", "false")
+_DT_FORM = _os.environ.get("V1T_DT_FORM", "1").strip().lower() not in (
+    "0", "false", "off", "no"
+)
 
 
 def _choose_blocks(n: int) -> t.Tuple[int, int, int]:
@@ -180,11 +181,7 @@ def _mha_fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        if use_lsa:
-            mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-            s = jnp.where(mask, s, MASK_VALUE)
-        else:
-            s = s + _key_pad_bias(kj, s.shape[1], n_real)
+        s = _apply_mask(s, qi, kj, n_real, use_lsa)
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m, m_curr)
         alpha = jnp.exp(m - m_next)
@@ -256,15 +253,15 @@ def _mha_fwd_kernel_dt(
     use_lsa: bool, dropout_rate: float, deterministic: bool,
     out_dropout: bool, fold_residual: bool, save_residuals: bool = True,
 ):
-    if save_residuals:
-        ohT_ref, lse_ref, acc_scr, ln_scr = refs
-    else:
-        acc_scr, ln_scr = refs
     """Whole-sequence forward in dt-form: v is held transposed (D, N) so the
     pv matmul contracts over the lane-aligned token axis instead of padding
     D 155->256 on lanes, and the output projection contracts D on sublanes.
     Softmax/dropout/LSA masks operate on p in the same (q, k) orientation as
     the legacy kernel — the regenerated masks are bit-identical."""
+    if save_residuals:
+        ohT_ref, lse_ref, acc_scr, ln_scr = refs
+    else:
+        acc_scr, ln_scr = refs
     b, h = pl.program_id(0), pl.program_id(1)
     npad = x_ref.shape[1]
 
@@ -294,11 +291,7 @@ def _mha_fwd_kernel_dt(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if use_lsa:
-        mask = _block_mask(0, 0, s.shape, n_real, use_lsa)
-        s = jnp.where(mask, s, MASK_VALUE)
-    else:
-        s = s + _key_pad_bias(0, s.shape[1], n_real)
+    s = _apply_mask(s, 0, 0, n_real, use_lsa)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
@@ -432,11 +425,7 @@ def _mha_bwd_kernel_dt(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if use_lsa:
-        mask = _block_mask(0, 0, s.shape, n_real, use_lsa)
-        s = jnp.where(mask, s, MASK_VALUE)
-    else:
-        s = s + _key_pad_bias(0, s.shape[1], n_real)
+    s = _apply_mask(s, 0, 0, n_real, use_lsa)
     p = jnp.exp(s - lse)
     doT_b = doT.astype(ln.dtype)
     dp_raw = jax.lax.dot_general(
@@ -613,11 +602,7 @@ def _mha_bwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        if use_lsa:
-            mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
-            s = jnp.where(mask, s, MASK_VALUE)
-        else:
-            s = s + _key_pad_bias(kj, s.shape[1], n_real)
+        s = _apply_mask(s, qi, kj, n_real, use_lsa)
         p = jnp.exp(s - lse)
         dp_raw = jax.lax.dot_general(
             do_b, v, (((1,), (1,)), ((), ())),
