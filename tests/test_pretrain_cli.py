@@ -103,3 +103,67 @@ def test_pretrain_reconstruction(image_folder, tmp_path):
     assert os.path.exists(
         os.path.join(args.output_dir, "ckpt", "model_state.msgpack")
     )
+
+
+def test_pretrain_injection_partial_behavior_mode(image_folder, tmp_path):
+    """The paper's workflow: a behavior-free ImageNet-pretrained core
+    injected into a behavior-conditioned model. The checkpoint has no
+    BehaviorMLPs — reference ``state_dict.update`` semantics keep those at
+    their fresh init while everything else loads (reference
+    models/utils.py:24-27); a shape mismatch must raise."""
+    args = Args()
+    args.dataset = image_folder
+    args.output_dir = str(tmp_path / "pre_bm")
+    pretrain_cli.main(args)
+
+    import jax
+    from v1t_tpu.configs import Config
+    from v1t_tpu.data.cards import synthetic_data_card
+    from v1t_tpu.models import build_model
+    from v1t_tpu.models.model import init_model
+    from v1t_tpu.pretrained import load_pretrain_core
+    from v1t_tpu.utils.scheduler import load_checkpoint_file
+
+    payload = load_checkpoint_file(
+        os.path.join(args.output_dir, "ckpt", "model_state.msgpack")
+    )
+
+    def make_cfg(**kw):
+        base = dict(
+            core="vit", readout="gaussian2d", behavior_mode=3, shift_mode=2,
+            num_blocks=1, num_heads=2, emb_dim=16, mlp_dim=16, patch_size=8,
+            patch_stride=8, precision="fp32", resize_image=0,
+            pretrain_core=args.output_dir, verbose=0,
+        )
+        base.update(kw)
+        return Config(**base)
+
+    cfg = make_cfg()
+    card = synthetic_data_card(
+        mouse_ids=("A",), num_neurons=10, input_shape=(1, 36, 64)
+    )
+    model = build_model(cfg, card)
+    params = init_model(model, seed=1)
+    new_params = load_pretrain_core(cfg, params)
+
+    tr_new = new_params["core"]["transformer"]
+    tr_ckpt = payload["model"]["core"]["transformer"]
+    tr_init = params["core"]["transformer"]
+    # loaded modules carry the checkpoint values
+    np.testing.assert_array_equal(
+        np.asarray(tr_new["block0_mha"]["to_qkv_kernel"]),
+        np.asarray(tr_ckpt["block0_mha"]["to_qkv_kernel"]),
+    )
+    # behavior MLPs (absent from the checkpoint) keep the fresh init
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr_new["block0_bmlp"]),
+        jax.tree_util.tree_leaves(tr_init["block0_bmlp"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a different emb_dim must fail loudly on the first mismatched leaf
+    cfg_bad = make_cfg(emb_dim=32, num_heads=2)
+    model_bad = build_model(cfg_bad, card)
+    params_bad = init_model(model_bad, seed=1)
+    with pytest.raises(ValueError, match="shape"):
+        load_pretrain_core(cfg_bad, params_bad)

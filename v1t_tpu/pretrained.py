@@ -6,9 +6,40 @@ from __future__ import annotations
 
 import os
 
-import jax
-
 from v1t_tpu.utils.scheduler import CKPT_NAME, load_checkpoint_file
+
+
+def _merge_core(init: dict, ckpt: dict, path: str = "core"):
+    """Partial merge with the reference's ``state_dict.update`` semantics
+    (reference models/utils.py:24-27): checkpoint leaves overwrite the
+    fresh init; modules absent from the checkpoint KEEP their init — the
+    paper's own workflow pretrains the core on ImageNet without behavior
+    (no BehaviorMLPs) and injects it into a behavior-conditioned model,
+    where the b-mlps stay freshly initialized (and are then frozen with
+    the rest of the core, as the reference does). Checkpoint keys the
+    model does not have are an error, exactly as the reference's
+    ``load_state_dict`` would raise on unexpected keys."""
+    merged = {}
+    for k, v in init.items():
+        if k not in ckpt:
+            merged[k] = v
+        elif isinstance(v, dict):
+            merged[k] = _merge_core(v, ckpt[k], f"{path}.{k}")
+        else:
+            if getattr(ckpt[k], "shape", None) != getattr(v, "shape", None):
+                raise ValueError(
+                    f"pretrained core leaf {path}.{k} has shape "
+                    f"{getattr(ckpt[k], 'shape', None)} but the model "
+                    f"expects {getattr(v, 'shape', None)}"
+                )
+            merged[k] = ckpt[k]
+    unknown = set(ckpt) - set(init)
+    if unknown:
+        raise ValueError(
+            f"pretrained core has modules the model does not: "
+            f"{sorted(f'{path}.{k}' for k in unknown)}"
+        )
+    return merged
 
 
 def load_pretrain_core(config, params: dict) -> dict:
@@ -17,14 +48,8 @@ def load_pretrain_core(config, params: dict) -> dict:
     ckpt = load_checkpoint_file(filename)
     core = ckpt["model"].get("core")
     assert core is not None, f"checkpoint {filename} has no core parameters."
-    # the pretrained core must cover the model's core exactly
-    expected = jax.tree_util.tree_structure(params["core"])
-    got = jax.tree_util.tree_structure(core)
-    assert expected == got, (
-        f"pretrained core structure mismatch:\n{expected}\nvs\n{got}"
-    )
     new_params = dict(params)
-    new_params["core"] = jax.tree_util.tree_map(lambda x: x, core)
+    new_params["core"] = _merge_core(params["core"], core)
     if getattr(config, "verbose", 1):
         print(
             f"\nLoaded pretrained core from {config.pretrain_core} "
