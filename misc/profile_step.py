@@ -8,6 +8,10 @@ import os
 import sys
 import time
 
+# tensorboard-plugin-profile's generated protos need the pure-Python
+# protobuf backend on this image
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)

@@ -6,7 +6,13 @@ Usage: python misc/xplane_summary.py <trace.xplane.pb> [top_n]
 """
 
 import collections
+import os
 import sys
+
+# the bundled protobuf-generated modules predate the installed protobuf's
+# C++ backend; the pure-Python parser accepts them (slower, fine for a
+# one-shot analyzer)
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
 def load(path):
