@@ -57,6 +57,7 @@ def fit_ensemble(config, trainer, scheduler, train_ds, val_ds, test_ds):
             epoch=epoch,
             params=trainer.params,
             opt_state=trainer.opt_state,
+            model_state=trainer.model_state,
         )
         if np.isnan(train_result["loss"]) or np.isnan(val_result["loss"]):
             exit("\nNaN loss detected, terminate training.")

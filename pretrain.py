@@ -154,7 +154,7 @@ def main(args):
                 f"val {val_loss:.4f}{acc}  ({time.time() - start:.1f}s)"
             )
         stop, params, opt_state = scheduler.step(
-            val_loss, epoch, params, opt_state
+            val_loss, epoch, params, opt_state, model_state=model_state
         )
         if stop:
             break

@@ -167,3 +167,58 @@ def test_pretrain_injection_partial_behavior_mode(image_folder, tmp_path):
     params_bad = init_model(model_bad, seed=1)
     with pytest.raises(ValueError, match="shape"):
         load_pretrain_core(cfg_bad, params_bad)
+
+
+def test_pretrain_stacked2d_checkpoints_and_injects_batchnorm_stats(
+    image_folder, tmp_path
+):
+    """BatchNorm cores: the pretrain checkpoint must carry the running
+    statistics (part of the torch state_dict the reference copies,
+    models/utils.py:24-27), and --pretrain_core injection must load them —
+    a frozen core evaluating with fresh mean=0/var=1 stats would silently
+    mis-normalize every downstream run."""
+    args = Args()
+    args.core = "stacked2d"
+    args.dataset = image_folder
+    args.output_dir = str(tmp_path / "pre_bn")
+    pretrain_cli.main(args)
+
+    import jax
+    from v1t_tpu.configs import Config
+    from v1t_tpu.data.cards import synthetic_data_card
+    from v1t_tpu.models import build_model
+    from v1t_tpu.models.model import init_model_variables
+    from v1t_tpu.pretrained import load_pretrain_core
+    from v1t_tpu.utils.scheduler import load_checkpoint_file
+
+    payload = load_checkpoint_file(
+        os.path.join(args.output_dir, "ckpt", "model_state.msgpack")
+    )
+    assert "model_state" in payload, "BatchNorm stats missing from ckpt"
+    ck_stats = payload["model_state"]["batch_stats"]["core"]
+
+    cfg = Config(
+        core="stacked2d", readout="gaussian2d", behavior_mode=0, shift_mode=0,
+        precision="fp32", resize_image=0, pretrain_core=args.output_dir,
+        verbose=0,
+    )
+    card = synthetic_data_card(
+        mouse_ids=("A",), num_neurons=10, input_shape=(1, 36, 64)
+    )
+    model = build_model(cfg, card)
+    params, model_state = init_model_variables(model, seed=1)
+    fresh_leaves = [
+        np.asarray(x)
+        for x in jax.tree_util.tree_leaves(model_state["batch_stats"]["core"])
+    ]
+    new_params, new_state = load_pretrain_core(cfg, params, model_state)
+    got = jax.tree_util.tree_leaves(new_state["batch_stats"]["core"])
+    want = jax.tree_util.tree_leaves(ck_stats)
+    assert len(got) == len(want) > 0
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and they actually differ from the fresh init (pretraining moved them)
+    assert any(
+        not np.array_equal(np.asarray(a), f)
+        for a, f in zip(got, fresh_leaves)
+    )

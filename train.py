@@ -77,7 +77,7 @@ def main(config: Config, wandb_sweep: bool = False):
 
     core_frozen = False
     if config.pretrain_core:
-        params = load_pretrain_core(config, params)
+        params, model_state = load_pretrain_core(config, params, model_state)
         core_frozen = True
 
     num_params = sum(

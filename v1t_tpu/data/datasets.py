@@ -392,6 +392,17 @@ class MouseDataset:
         )
         if image_dtype is not None and not out_bf16:
             return None  # unknown wire dtype: keep the validated numpy path
+        # cheap fields first: if any of them disqualifies (non-float32 /
+        # non-contiguous packed array), bail BEFORE spending the expensive
+        # fused image gather — a permanently-disqualified small field would
+        # otherwise discard the image work on every batch
+        response = fastbatch.gather_scale(
+            self._packed["responses"], trials, self._response_precision
+        )
+        behavior = fastbatch.gather_rows(self._packed["behavior"], trials)
+        pupil = fastbatch.gather_rows(self._packed["pupil_center"], trials)
+        if response is None or behavior is None or pupil is None:
+            return None
         stats = self.image_stats
         image = fastbatch.gather_image(
             self._packed["images"], trials,
@@ -399,13 +410,6 @@ class MouseDataset:
             reduce_gray=bool(self.gray_scale), out_bf16=out_bf16,
         )
         if image is None:
-            return None
-        response = fastbatch.gather_scale(
-            self._packed["responses"], trials, self._response_precision
-        )
-        behavior = fastbatch.gather_rows(self._packed["behavior"], trials)
-        pupil = fastbatch.gather_rows(self._packed["pupil_center"], trials)
-        if response is None or behavior is None or pupil is None:
             return None
         return {
             "image": image,

@@ -34,6 +34,22 @@ import os as _os
 NUM_LANES = 128
 
 
+def env_int(name: str) -> int:
+    """Integer env knob: empty/whitespace counts as unset (0); anything
+    else must parse, with a clear message naming the variable (these are
+    read at import so a bad value would otherwise kill every entry point
+    with a bare int() traceback)."""
+    raw = _os.environ.get(name, "").strip()
+    if not raw:
+        return 0
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name}={raw!r} must be an integer (or empty to mean unset)"
+        ) from None
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -46,8 +62,8 @@ def pick_blocks(n: int) -> t.Tuple[int, int]:
     (256, 896) runs the training config 23% faster than (256, 256).
     Env overrides: V1T_FLASH_BLOCK_Q / V1T_FLASH_BLOCK_K."""
     n128 = _round_up(n, 128)
-    block_q = int(_os.environ.get("V1T_FLASH_BLOCK_Q", 0)) or min(256, n128)
-    block_k = int(_os.environ.get("V1T_FLASH_BLOCK_K", 0)) or min(896, n128)
+    block_q = env_int("V1T_FLASH_BLOCK_Q") or min(256, n128)
+    block_k = env_int("V1T_FLASH_BLOCK_K") or min(896, n128)
     return block_q, block_k
 
 

@@ -63,7 +63,9 @@ WHOLE_SEQ_MAX = 2048
 # k-block override captured once at import — see _choose_blocks
 import os as _os  # noqa: E402
 
-_FUSED_BLOCK_K_OVERRIDE = int(_os.environ.get("V1T_FUSED_BLOCK_K", "0"))
+from v1t_tpu.ops.flash_attention import env_int as _env_int  # noqa: E402
+
+_FUSED_BLOCK_K_OVERRIDE = _env_int("V1T_FUSED_BLOCK_K")
 
 # dt-form (transposed-operand) whole-sequence kernels: the head dim D=155
 # pads to 256 MXU lanes (1.65x the algorithmic MACs) whenever it is the

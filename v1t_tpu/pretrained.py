@@ -42,7 +42,14 @@ def _merge_core(init: dict, ckpt: dict, path: str = "core"):
     return merged
 
 
-def load_pretrain_core(config, params: dict) -> dict:
+def load_pretrain_core(config, params: dict, model_state: dict = None):
+    """Inject the pretrained ``core`` parameter subtree — and, when a
+    ``model_state`` is passed, the core's non-parameter collections
+    (BatchNorm running statistics for stacked2d/stn cores, which are part
+    of the torch state_dict the reference copies, models/utils.py:24-27).
+
+    Returns ``params`` when called without ``model_state`` (pure-parameter
+    cores), else ``(params, model_state)``."""
     filename = os.path.join(config.pretrain_core, "ckpt", CKPT_NAME)
     assert os.path.exists(filename), f"Cannot find pretrain core {filename}."
     ckpt = load_checkpoint_file(filename)
@@ -50,9 +57,29 @@ def load_pretrain_core(config, params: dict) -> dict:
     assert core is not None, f"checkpoint {filename} has no core parameters."
     new_params = dict(params)
     new_params["core"] = _merge_core(params["core"], core)
+    new_state = model_state
+    if model_state is not None:
+        ckpt_state = ckpt.get("model_state", {})
+        new_state = dict(model_state)
+        for coll, ck_tree in ckpt_state.items():
+            ck_core = ck_tree.get("core")
+            if ck_core is None:
+                continue
+            if coll not in new_state or "core" not in new_state[coll]:
+                raise ValueError(
+                    f"pretrained core carries a '{coll}.core' collection "
+                    f"the model does not have"
+                )
+            tree = dict(new_state[coll])
+            tree["core"] = _merge_core(
+                tree["core"], ck_core, path=f"{coll}.core"
+            )
+            new_state[coll] = tree
     if getattr(config, "verbose", 1):
         print(
             f"\nLoaded pretrained core from {config.pretrain_core} "
             f"(value: {float(ckpt['value']):.04f})."
         )
+    if model_state is not None:
+        return new_params, new_state
     return new_params

@@ -410,25 +410,50 @@ def _device_prefetch(trainer: Trainer, iterator, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     errors: list = []
+
+    def _put(item) -> bool:
+        # bounded put that gives up once the consumer is gone — a plain
+        # q.put would block this thread forever (pinning device-resident
+        # prepared batches) when the generator is abandoned mid-epoch
+        # (NaN abort, interrupt, a sweep trial failing)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for mouse_id, batch in iterator:
-                q.put((mouse_id, trainer.prepare_batch(batch)))
+                if stop.is_set():
+                    return
+                if not _put((mouse_id, trainer.prepare_batch(batch))):
+                    return
         except BaseException as exc:  # surfaced in the consumer
             errors.append(exc)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:  # release any device batches still staged in the queue
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def train_epoch(

@@ -130,8 +130,21 @@ class Scheduler:
         }
         if model_state:
             # non-parameter collections, e.g. BatchNorm running statistics
-            # (part of the torch state_dict in the reference)
-            payload["model_state"] = model_state
+            # (part of the torch state_dict in the reference). The
+            # module_names filter applies here too — the reference filters
+            # the FULL state_dict, buffers included (scheduler.py:73-82)
+            if self.module_names is not None:
+                model_state = {
+                    coll: {
+                        k: v for k, v in tree.items() if k in self.module_names
+                    }
+                    for coll, tree in model_state.items()
+                }
+                model_state = {
+                    coll: tree for coll, tree in model_state.items() if tree
+                }
+            if model_state:
+                payload["model_state"] = model_state
         if self.save_optimizer and opt_state is not None:
             payload["optimizer"] = serialization.to_state_dict(opt_state)
         if self.save_scheduler:

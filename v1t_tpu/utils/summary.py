@@ -36,9 +36,7 @@ def _render(module, args: tuple, method=None, **call_kwargs) -> str:
     return tab(*args, **call_kwargs)
 
 
-def write_model_summaries(
-    config, model, card, output_dir: str, summary=None
-) -> None:
+def write_model_summaries(config, model, card, output_dir: str) -> None:
     """Write model.txt / model_core.txt / model_readout.txt into
     ``output_dir``. Failures are non-fatal (summaries must never break a
     training run)."""
@@ -50,7 +48,7 @@ def write_model_summaries(
     mouse_id = card.mouse_ids[0]
     zeros = jnp.zeros
 
-    def _write(filename: str, text: str, tag: str):
+    def _write(filename: str, text: str):
         with open(os.path.join(output_dir, filename), "w") as f:
             f.write(text)
 
@@ -60,7 +58,7 @@ def write_model_summaries(
             (zeros((1, c, h, w)), zeros((1, 3)), zeros((1, 2))),
             method=Model.warmup,
         )
-        _write("model.txt", text, "model")
+        _write("model.txt", text)
     except Exception as e:  # pragma: no cover - diagnostics only
         print(f"model.txt summary failed: {e}")
 
@@ -87,7 +85,7 @@ def write_model_summaries(
             behaviors=zeros((1, 3)),
             pupil_centers=zeros((1, 2)),
         )
-        _write("model_core.txt", text, "core")
+        _write("model_core.txt", text)
     except Exception as e:  # pragma: no cover
         print(f"model_core.txt summary failed: {e}")
 
@@ -106,6 +104,6 @@ def write_model_summaries(
             )
         oc, oh, ow = core.output_shape
         text = _render(readout_cls(**kwargs), (zeros((1, oc, oh, ow)),))
-        _write("model_readout.txt", text, "readout")
+        _write("model_readout.txt", text)
     except Exception as e:  # pragma: no cover
         print(f"model_readout.txt summary failed: {e}")
