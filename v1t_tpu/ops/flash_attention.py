@@ -67,25 +67,22 @@ def pick_blocks(n: int) -> t.Tuple[int, int]:
     return block_q, block_k
 
 
-def _dropout_keep_mask(seed_base, bh, qi, kj, nq, nk, shape, keep_prob: float):
-    """Deterministic per-(bh, q-block, k-block) keep mask, regenerable in
-    forward and backward kernels.
+def _keep_draw(shape, keep_prob: float):
+    """Draw an i.i.d. keep mask of ``shape`` from the already-seeded
+    hardware PRNG using 16-bit thresholds.
 
-    16-bit thresholds: the hardware PRNG emits 32-bit words at a fixed
-    words/cycle rate, and generating the (block_q, block_k) mask is the
-    single largest VPU cost of fused dropout (measured ~5 ms of a 89 ms
-    B=64 train step with full-size 32-bit draws). Drawing half as many
-    words and bitcasting each into a sublane-stacked pair of uint16 lanes
-    halves that; the keep probability quantizes to 1/65536 (≤ 2e-5
-    absolute — e.g. the V1T t_dropout 0.2544 keep rate lands at 0.745575
-    vs 0.7456 exact)."""
-    pltpu.prng_seed(seed_base + (bh * nq + qi) * nk + kj)
+    The PRNG emits 32-bit words at a fixed words/cycle rate, and mask
+    generation is the single largest VPU cost of fused dropout (measured
+    ~5 ms of a 89 ms B=64 train step with full-size 32-bit draws). Each
+    32-bit word yields two independent 16-bit draws, unpacked with
+    shift/mask so the i1 result keeps a 32-bit layout (Mosaic cannot
+    relayout a 16-bit-packed mask into an fp32 select); the keep
+    probability quantizes to 1/65536 (≤ 2e-5 absolute — e.g. the V1T
+    t_dropout 0.2544 keep rate lands at 0.745575 vs 0.7456 exact).
+    8-bit draws (4 per word, dithered threshold) were measured a WASH:
+    the extra unpack ALU eats the halved PRNG time. Falls back to 32-bit
+    draws when the sublane dim is odd."""
     if shape[0] % 2 == 0:
-        # each 32-bit word yields two independent 16-bit draws, unpacked
-        # with shift/mask so the i1 result keeps a 32-bit layout (Mosaic
-        # cannot relayout a 16-bit-packed mask into an fp32 select).
-        # 8-bit draws (4 per word, dithered threshold) were measured a
-        # WASH: the extra unpack ALU eats the halved PRNG time.
         half = pltpu.bitcast(
             pltpu.prng_random_bits((shape[0] // 2, shape[1])), jnp.uint32
         )
@@ -96,6 +93,13 @@ def _dropout_keep_mask(seed_base, bh, qi, kj, nq, nk, shape, keep_prob: float):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     threshold = jnp.uint32(keep_prob * 4294967295.0)
     return bits < threshold
+
+
+def _dropout_keep_mask(seed_base, bh, qi, kj, nq, nk, shape, keep_prob: float):
+    """Deterministic per-(bh, q-block, k-block) keep mask, regenerable in
+    forward and backward kernels."""
+    pltpu.prng_seed(seed_base + (bh * nq + qi) * nk + kj)
+    return _keep_draw(shape, keep_prob)
 
 
 def _tile(ref, row_slice=None):

@@ -47,6 +47,7 @@ from v1t_tpu.ops.flash_attention import (
     MASK_VALUE,
     _apply_mask,
     _dropout_keep_mask,
+    _keep_draw,
     _round_up,
 )
 
@@ -116,8 +117,7 @@ def _out_keep_mask(seed, b, qi, nq, shape, keep_prob: float):
     """Deterministic keep mask for the folded output dropout of row block
     (b, qi) — regenerable in forward and backward."""
     pltpu.prng_seed(seed + _OUT_DROP_SALT + b * nq + qi)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    return bits < jnp.uint32(keep_prob * 4294967295.0)
+    return _keep_draw(shape, keep_prob)
 
 
 def _layernorm(x32, gamma, beta, eps=1e-5):  # torch nn.LayerNorm default

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from v1t_tpu.ops.flash_attention import _round_up
+from v1t_tpu.ops.flash_attention import _keep_draw, _round_up
 
 BLOCK_R = 512  # token rows per program (sequences too long for whole-row mode)
 # whole-row mode: a single row-block per batch — only lane-tile alignment
@@ -48,9 +48,9 @@ def _choose_rows(n: int) -> int:
 
 
 def _keep_mask(seed, uid, shape, keep_prob):
+    # 16-bit draws (two per PRNG word) — see flash_attention._keep_draw
     pltpu.prng_seed(seed + uid)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    return bits < jnp.uint32(keep_prob * 4294967295.0)
+    return _keep_draw(shape, keep_prob)
 
 
 def _layernorm(x32, gamma, beta, eps=1e-5):  # torch nn.LayerNorm default
