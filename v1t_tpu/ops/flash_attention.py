@@ -80,19 +80,23 @@ def _keep_draw(shape, keep_prob: float):
     probability quantizes to 1/65536 (≤ 2e-5 absolute — e.g. the V1T
     t_dropout 0.2544 keep rate lands at 0.745575 vs 0.7456 exact).
     8-bit draws (4 per word, dithered threshold) were measured a WASH:
-    the extra unpack ALU eats the halved PRNG time. Falls back to 32-bit
-    draws when the sublane dim is odd."""
-    if shape[0] % 2 == 0:
-        half = pltpu.bitcast(
-            pltpu.prng_random_bits((shape[0] // 2, shape[1])), jnp.uint32
+    the extra unpack ALU eats the halved PRNG time. The sublane dim must
+    be even (all kernel tiles are 128-aligned): a silent 32-bit fallback
+    would be a DIFFERENT stream/quantization, and a forward/backward pair
+    that disagreed on row parity would regenerate divergent masks and
+    corrupt gradients with no error."""
+    if shape[0] % 2 != 0:
+        raise ValueError(
+            f"_keep_draw requires an even sublane dim, got shape {shape}; "
+            "pad the tile (fwd and bwd must pass bit-identical shapes)"
         )
-        threshold = jnp.uint32(min(int(keep_prob * 65536.0), 65535))
-        lo = jax.lax.bitwise_and(half, jnp.uint32(0xFFFF)) < threshold
-        hi = jax.lax.shift_right_logical(half, jnp.uint32(16)) < threshold
-        return jnp.concatenate([lo, hi], axis=0)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    threshold = jnp.uint32(keep_prob * 4294967295.0)
-    return bits < threshold
+    half = pltpu.bitcast(
+        pltpu.prng_random_bits((shape[0] // 2, shape[1])), jnp.uint32
+    )
+    threshold = jnp.uint32(min(round(keep_prob * 65536.0), 65535))
+    lo = jax.lax.bitwise_and(half, jnp.uint32(0xFFFF)) < threshold
+    hi = jax.lax.shift_right_logical(half, jnp.uint32(16)) < threshold
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def _dropout_keep_mask(seed_base, bh, qi, kj, nq, nk, shape, keep_prob: float):
