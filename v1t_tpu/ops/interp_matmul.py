@@ -45,7 +45,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-P_CHUNK = 512    # points per program
+import os as _os
+
+P_CHUNK = int(_os.environ.get("V1T_INTERP_P_CHUNK") or 0) or 1024
+# experiment knob (misc/bench_readout.py): 1 replaces the hat build with a
+# broadcast — WRONG results, measures the matmul-only floor
+_ABLATE_HATS = _os.environ.get("V1T_INTERP_ABLATE", "") == "1"
 
 # the kernels keep the whole (C, T) table resident in VMEM plus ~5 live
 # (T, P_CHUNK) fp32 hat/derivative matrices in the merged backward
@@ -71,15 +76,24 @@ def _txy(shape, width: int, dim: int):
     return t % width, t // width
 
 
+def _txy_col(tp: int, width: int):
+    """Column-vector (tp, 1) fp32 pixel coordinates: the mod/div/cast run
+    once per table row instead of once per (row, point) element — the
+    following hat builds broadcast them across the point lanes."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    return (t % width).astype(jnp.float32), (t // width).astype(jnp.float32)
+
+
 def _fwd_kernel(xs_ref, ys_ref, flat_ref, out_ref, *, width: int):
     xs = xs_ref[0, 0]  # (P_CHUNK,)
     ys = ys_ref[0, 0]
     tp = flat_ref.shape[2]
     # A^T: (tp, P_CHUNK), tokens along sublanes
-    tx, ty = _txy((tp, xs.shape[0]), width, dim=0)
-    at = _hat(xs[None, :], tx.astype(jnp.float32)) * _hat(
-        ys[None, :], ty.astype(jnp.float32)
-    )
+    if _ABLATE_HATS:
+        at = jnp.broadcast_to(xs[None, :] * 1e-9, (tp, xs.shape[0]))
+    else:
+        txf, tyf = _txy_col(tp, width)
+        at = _hat(xs[None, :], txf) * _hat(ys[None, :], tyf)
     out = jax.lax.dot(
         flat_ref[0], at.astype(flat_ref.dtype),
         preferred_element_type=jnp.float32,
@@ -108,9 +122,9 @@ def _bwd_kernel(
     xs = xs_ref[0, 0]
     ys = ys_ref[0, 0]
     tp = flat_ref.shape[2]
-    tx, ty = _txy((tp, xs.shape[0]), width, dim=0)
-    hat_x = _hat(xs[None, :], tx.astype(jnp.float32))
-    hat_y = _hat(ys[None, :], ty.astype(jnp.float32))
+    txf, tyf = _txy_col(tp, width)
+    hat_x = _hat(xs[None, :], txf)
+    hat_y = _hat(ys[None, :], tyf)
     at = hat_x * hat_y  # (tp, P_CHUNK)
 
     do = dout_ref[0]  # (C, P_CHUNK)
@@ -119,22 +133,34 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     )  # (C, tp)
 
-    ix0 = jnp.floor(xs)[None, :].astype(jnp.int32)
-    iy0 = jnp.floor(ys)[None, :].astype(jnp.int32)
-    sign_x = jnp.where(tx == ix0 + 1, 1.0, jnp.where(tx == ix0, -1.0, 0.0))
-    sign_y = jnp.where(ty == iy0 + 1, 1.0, jnp.where(ty == iy0, -1.0, 0.0))
-    dax = sign_x * hat_y
-    day = hat_x * sign_y
+    # grid gradient via ONE channel-contraction (the dt-form "lane-lane"
+    # orientation, ~2x the other matmuls' rate) instead of the two
+    # token-contraction matmuls (flat @ dax, flat @ day) it replaces:
+    #   dgx[p] = sum_c do[c,p] * sum_t flat[c,t] dax[t,p]
+    #          = sum_t dax[t,p] * G[t,p],  G = flat^T do
+    # and dax = sign_x * hat_y factors into VPU selects on hat*G products.
     flat = flat_ref[0]
-    sx = jax.lax.dot(
-        flat, dax.astype(flat.dtype), preferred_element_type=jnp.float32
-    )  # (C, P_CHUNK)
-    sy = jax.lax.dot(
-        flat, day.astype(flat.dtype), preferred_element_type=jnp.float32
+    g = jax.lax.dot_general(
+        flat, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (tp, P_CHUNK)
+    ix0 = jnp.floor(xs)[None, :]
+    iy0 = jnp.floor(ys)[None, :]
+    wx = hat_y * g  # dax slot: sign over x within the floor cell
+    wy = hat_x * g
+    zero = jnp.zeros_like(g)
+    dgx = jnp.sum(
+        jnp.where(txf == ix0 + 1.0, wx, zero)
+        - jnp.where(txf == ix0, wx, zero),
+        axis=0,
     )
-    do32 = do.astype(jnp.float32)
-    dgx_ref[0, 0] = jnp.sum(sx * do32, axis=0)
-    dgy_ref[0, 0] = jnp.sum(sy * do32, axis=0)
+    dgy = jnp.sum(
+        jnp.where(tyf == iy0 + 1.0, wy, zero)
+        - jnp.where(tyf == iy0, wy, zero),
+        axis=0,
+    )
+    dgx_ref[0, 0] = dgx
+    dgy_ref[0, 0] = dgy
 
     @pl.when(pi == np_chunks - 1)
     def _emit():
