@@ -106,6 +106,52 @@ def _dropout_keep_mask(seed_base, bh, qi, kj, nq, nk, shape, keep_prob: float):
     return _keep_draw(shape, keep_prob)
 
 
+def _dropout_raw_bits(seed_base, bh, qi, kj, nq, nk, shape):
+    """The RAW 32-bit PRNG words behind ``_dropout_keep_mask`` — one word
+    per TWO mask rows. Callers apply the threshold inline via
+    ``_apply_keep_halves`` so the unpacked i1 masks (stored as 32-bit
+    vectors, a full (rows, cols) extra buffer) are never materialized:
+    the compares fuse into the consuming select pass. The element mapping
+    is bit-identical to ``_dropout_keep_mask``: low half-words mask rows
+    [0, rows/2), high half-words rows [rows/2, rows)."""
+    if shape[0] % 2 != 0:
+        raise ValueError(
+            f"_dropout_raw_bits requires an even sublane dim, got {shape}"
+        )
+    pltpu.prng_seed(seed_base + (bh * nq + qi) * nk + kj)
+    return pltpu.bitcast(
+        pltpu.prng_random_bits((shape[0] // 2, shape[1])), jnp.uint32
+    )
+
+
+def _threshold16(keep_prob: float):
+    return jnp.uint32(min(round(keep_prob * 65536.0), 65535))
+
+
+def _apply_keep_halves(bits, arrs, keep_prob: float, inv_scale: float):
+    """where(keep, arr * inv_scale, 0) for each arr, with the keep mask
+    decoded inline from ``bits`` (see _dropout_raw_bits) on the two row
+    halves — mask-equivalent to ``jnp.where(_keep_draw(...), a*s, 0)``."""
+    thr = _threshold16(keep_prob)
+    lo = jax.lax.bitwise_and(bits, jnp.uint32(0xFFFF)) < thr
+    hi = jax.lax.shift_right_logical(bits, jnp.uint32(16)) < thr
+    half = arrs[0].shape[0] // 2
+    outs = []
+    for a in arrs:
+        scale = jnp.asarray(inv_scale, a.dtype)
+        zero = jnp.asarray(0.0, a.dtype)
+        outs.append(
+            jnp.concatenate(
+                [
+                    jnp.where(lo, a[:half] * scale, zero),
+                    jnp.where(hi, a[half:] * scale, zero),
+                ],
+                axis=0,
+            )
+        )
+    return outs
+
+
 def _tile(ref, row_slice=None):
     """Read a (rows, D) tile from a 3D (1, rows, D) or 4D (1, rows, 1, D)
     block (the BNHD layout threads a singleton head dim through the specs)."""

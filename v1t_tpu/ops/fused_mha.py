@@ -45,8 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from v1t_tpu.ops.flash_attention import (
     MASK_VALUE,
+    _apply_keep_halves,
     _apply_mask,
     _dropout_keep_mask,
+    _dropout_raw_bits,
     _keep_draw,
     _round_up,
 )
@@ -276,6 +278,16 @@ def _mha_fwd_kernel_dt(
         ln_scr[...] = ln.astype(ln_scr.dtype)
 
     ln = ln_scr[...]
+    npad_rows = x_ref.shape[1]
+    # draw the probability-dropout PRNG words BEFORE any MXU work (data-
+    # independent); the threshold compare is applied inline in the select
+    # pass below so no full-size i1 mask is ever materialized
+    bits = None
+    if dropout_rate > 0.0 and not deterministic:
+        bh = b * num_heads + h
+        bits = _dropout_raw_bits(
+            seed_ref[0], bh, 0, 0, 1, 1, (npad_rows, npad_rows)
+        )
     k = jax.lax.dot(
         ln, wqkv_ref[1, h], preferred_element_type=jnp.float32
     ).astype(ln.dtype)
@@ -297,12 +309,10 @@ def _mha_fwd_kernel_dt(
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
-    if dropout_rate > 0.0 and not deterministic:
-        bh = b * num_heads + h
-        keep = _dropout_keep_mask(
-            seed_ref[0], bh, 0, 0, 1, 1, s.shape, 1.0 - dropout_rate
+    if bits is not None:
+        (p,) = _apply_keep_halves(
+            bits, (p,), 1.0 - dropout_rate, 1.0 / (1.0 - dropout_rate)
         )
-        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     # out^T (D, N) = v^T x p^T: lane-lane contraction over the aligned key
     # axis — no transpose of p is needed, dims ((1,), (1,)) contract k
     outT = jax.lax.dot_general(
@@ -436,12 +446,10 @@ def _mha_bwd_kernel_dt(
     )  # (N, N): sublane contraction over D
     if dropout_rate > 0.0 and not deterministic:
         bh = b * num_heads + h
-        keep = _dropout_keep_mask(
-            seed_ref[0], bh, 0, 0, 1, 1, s.shape, 1.0 - dropout_rate
+        bits = _dropout_raw_bits(seed_ref[0], bh, 0, 0, 1, 1, s.shape)
+        p_dropped, dp = _apply_keep_halves(
+            bits, (p, dp_raw), 1.0 - dropout_rate, 1.0 / (1.0 - dropout_rate)
         )
-        inv_keep = 1.0 / (1.0 - dropout_rate)
-        p_dropped = jnp.where(keep, p * inv_keep, 0.0)
-        dp = jnp.where(keep, dp_raw * inv_keep, 0.0)
     else:
         p_dropped = p
         dp = dp_raw
