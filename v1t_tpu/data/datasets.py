@@ -171,13 +171,16 @@ def pack_mouse_dir(mouse_dir: str, verbose: int = 1) -> str:
     num_trials = get_num_trials(mouse_dir)
     if verbose:
         print(f"Packing {num_trials} trials in {mouse_dir}...")
-    field_to_key = {
-        "images": "image",
-        "responses": "response",
-        "behavior": "behavior",
-        "pupil_center": "pupil_center",
-    }
-    for field in FIELDS:
+
+    # thread pool over trial ranges: the packing cost is tens of thousands
+    # of tiny-file reads (SURVEY §7 hard-part #6) and np.load releases the
+    # GIL during the read syscalls; threads write disjoint slices of the
+    # destination memmap, so no synchronization is needed
+    import concurrent.futures
+
+    workers = min(16, os.cpu_count() or 4)
+
+    def _pack_field(field: str):
         first = np.load(os.path.join(mouse_dir, "data", field, "0.npy"))
         out = np.lib.format.open_memmap(
             os.path.join(packed_dir, f"{field}.npy"),
@@ -185,13 +188,28 @@ def pack_mouse_dir(mouse_dir: str, verbose: int = 1) -> str:
             dtype=np.float32,
             shape=(num_trials,) + first.shape,
         )
-        for trial in range(num_trials):
-            out[trial] = np.load(
-                os.path.join(mouse_dir, "data", field, f"{trial}.npy")
-            )
+
+        def _fill(lo: int, hi: int):
+            for trial in range(lo, hi):
+                out[trial] = np.load(
+                    os.path.join(mouse_dir, "data", field, f"{trial}.npy")
+                )
+
+        step = max(64, -(-num_trials // workers))
+        ranges = [
+            (lo, min(lo + step, num_trials))
+            for lo in range(0, num_trials, step)
+        ]
+        if len(ranges) > 1:
+            with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+                list(pool.map(lambda r: _fill(*r), ranges))
+        else:
+            _fill(0, num_trials)
         out.flush()
         del out
-    del field_to_key
+
+    with concurrent.futures.ThreadPoolExecutor(len(FIELDS)) as pool:
+        list(pool.map(_pack_field, FIELDS))
     with open(done_marker, "w") as f:
         f.write("ok")
     return packed_dir
