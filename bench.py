@@ -239,6 +239,16 @@ def main_epoch():
     training.train_epoch(trainer, ds=train_ds, epoch=2)
     jax.block_until_ready(trainer.params)
     dt = _time.perf_counter() - t0
+
+    # host-side split: the same loader + batch-assembly pass with no device
+    # work, isolating the input pipeline from the step (the residual
+    # epoch-vs-step gap is dispatch/relay overhead)
+    from v1t_tpu.data.loaders import CycleLoaders
+
+    t0 = _time.perf_counter()
+    for _, batch in CycleLoaders(train_ds):
+        trainer.prepare_batch(batch)
+    host_dt = _time.perf_counter() - t0
     print(
         json.dumps(
             {
@@ -248,6 +258,11 @@ def main_epoch():
                 "vs_baseline": round(
                     images_per_epoch / dt / A100_REFERENCE_IMAGES_PER_SEC, 3
                 ),
+                "host_pipeline_images_per_sec": round(
+                    images_per_epoch / host_dt, 1
+                ),
+                "epoch_sec": round(dt, 3),
+                "host_pipeline_sec": round(host_dt, 3),
             }
         )
     )
