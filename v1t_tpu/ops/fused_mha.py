@@ -78,9 +78,22 @@ _FUSED_BLOCK_K_OVERRIDE = _env_int("V1T_FUSED_BLOCK_K")
 # lane-lane 6.4; dk/dv sublane-aligned 13.9 vs transposed 4.5 (192 TF/s);
 # dq 13.5 vs k^T-form 6.4. Read once at import so the traced kernel config
 # cannot diverge from what save_args records within a process.
-_DT_FORM = _os.environ.get("V1T_DT_FORM", "1").strip().lower() not in (
-    "0", "false", "off", "no"
-)
+_raw_dt = _os.environ.get("V1T_DT_FORM", "2").strip().lower()
+if _raw_dt in ("0", "false", "off", "no"):
+    _DT_FORM = 0
+elif _raw_dt in ("1", "true", "on", "yes"):
+    _DT_FORM = 1
+else:
+    _DT_FORM = 2
+# dt2 (default): transposed-SCORE orientation + batched all-head
+# projections. Per (batch, head) the dt1 kernels issue 5-6 per-head
+# projection matmuls (~10 us of a 43 us backward program at the flagship
+# shapes — half-rate (E, D) shapes); dt2 computes ALL heads' transposed
+# q/k/v (and do) projections in three (E, H*DP) matmuls at the first head
+# pass into VMEM scratch and slices per head (DP = D rounded to 16 keeps
+# every sublane slice aligned). With only transposed projections resident,
+# the scores run as s^T = k^T-contract-q^T (sublane-padded D) and every
+# downstream matmul stays in a sublane/lane-aligned form.
 
 
 def _choose_blocks(n: int) -> t.Tuple[int, int, int]:
@@ -523,6 +536,436 @@ def _mha_bwd_kernel_dt(
             dx = dx + dout_raw.astype(jnp.float32)
         dbrow_ref[0] = jnp.sum(dx, axis=0, keepdims=True)
         dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _apply_mask_t(sT, n_real: int, use_lsa: bool):
+    """Transposed-orientation masking: keys ride the SUBLANE rows, so the
+    pad-key mask is a (rows, 1) additive column; the LSA diagonal is
+    orientation-invariant."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (sT.shape[0], 1), 0)
+    sT = sT + jnp.where(row < n_real, 0.0, MASK_VALUE)
+    if use_lsa:
+        rows = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1)
+        sT = jnp.where(rows == cols, MASK_VALUE, sT)
+    return sT
+
+
+def _mha_fwd_kernel_dt2(
+    seed_ref,
+    x_ref, brow_ref, g_ref, beta_ref, wqkvp_ref, wpp_ref, bp_ref, scale_ref,
+    out_ref, *refs,
+    n_real: int, num_heads: int, dp: int,
+    use_lsa: bool, dropout_rate: float, deterministic: bool,
+    out_dropout: bool, fold_residual: bool, save_residuals: bool = True,
+):
+    """Whole-sequence forward, transposed-score orientation with batched
+    projections. wqkvp is (3, E, H*DP) (per-head D zero-padded to DP) and
+    wpp is (H*DP, E); at h==0 three matmuls fill the all-head transposed
+    projection scratch (3, H*DP, N), each head pass slices its DP rows.
+    Scores are computed transposed, s^T[k, q] = sum_d kT[d,k] qT[d,q]
+    (D on sublanes of both operands: pad DP/D ~ 1.03 instead of the 1.65x
+    lane pad of the (N,D)x(N,D) form); softmax reduces over the sublane
+    (key) axis and the attention-output / projection matmuls keep the
+    (DP, N) orientation of the dt1 kernels."""
+    if save_residuals:
+        ohT_ref, lse_ref, proj_scr, acc_scr, ln_scr = refs
+    else:
+        proj_scr, acc_scr, ln_scr = refs
+    b, h = pl.program_id(0), pl.program_id(1)
+    npad = x_ref.shape[1]
+
+    def _z():
+        return x_ref[0] + brow_ref[0]
+
+    @pl.when(h == 0)
+    def _compute_projections():
+        ln, _, _ = _layernorm(_z().astype(jnp.float32), g_ref[0], beta_ref[0])
+        ln_scr[...] = ln.astype(ln_scr.dtype)
+        lnv = ln_scr[...]
+        # ONE (E, 3*H*DP) matmul projects q/k/v for every head (wqkvp is
+        # flattened over (qkv, head)); per-head slices stay 16-aligned
+        proj_scr[...] = jax.lax.dot_general(
+            wqkvp_ref[...], lnv, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(proj_scr.dtype)
+
+    hp = num_heads * dp
+    scale = scale_ref[0, h]
+    qrawT = proj_scr[pl.ds(h * dp, dp), :]  # (DP, N) bf16
+    kT = proj_scr[pl.ds(hp + h * dp, dp), :]
+    vT = proj_scr[pl.ds(2 * hp + h * dp, dp), :]
+    qT = (qrawT.astype(jnp.float32) * scale).astype(kT.dtype)
+
+    bits = None
+    if dropout_rate > 0.0 and not deterministic:
+        bh = b * num_heads + h
+        bits = _dropout_raw_bits(seed_ref[0], bh, 0, 0, 1, 1, (npad, npad))
+
+    sT = jax.lax.dot_general(
+        kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (N_k, N_q)
+    sT = _apply_mask_t(sT, n_real, use_lsa)
+    m = jnp.max(sT, axis=0, keepdims=True)   # (1, N_q)
+    pT = jnp.exp(sT - m)
+    l = jnp.sum(pT, axis=0, keepdims=True)   # (1, N_q)
+    if bits is not None:
+        (pT,) = _apply_keep_halves(
+            bits, (pT,), 1.0 - dropout_rate, 1.0 / (1.0 - dropout_rate)
+        )
+    outT = jax.lax.dot_general(
+        vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (DP, N_q): contract keys (lanes of vT x sublanes of pT)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    oT = (outT * l_inv).astype(out_ref.dtype)
+    if save_residuals:
+        ohT_ref[0, 0] = oT
+        lse_val = m + jnp.log(jnp.maximum(l, 1e-37))
+        lse_ref[0, 0] = jnp.broadcast_to(lse_val, (8, npad))
+
+    proj = jax.lax.dot_general(
+        oT, wpp_ref[pl.ds(h * dp, dp), :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N_q, E)
+
+    @pl.when(h == 0)
+    def _init_acc():
+        acc_scr[...] = proj + bp_ref[0][None, :].astype(jnp.float32)
+
+    @pl.when(h > 0)
+    def _add_acc():
+        acc_scr[...] += proj
+
+    @pl.when(h == num_heads - 1)
+    def _writeback():
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (npad, out_ref.shape[-1]), 0
+        )
+        val = jnp.where(row_ids < n_real, acc_scr[...], 0.0)
+        if out_dropout and dropout_rate > 0.0 and not deterministic:
+            keep = _out_keep_mask(seed_ref[0], b, 0, 1, val.shape,
+                                  1.0 - dropout_rate)
+            val = jnp.where(keep, val / (1.0 - dropout_rate), 0.0)
+        out_val = val.astype(out_ref.dtype)
+        if fold_residual:
+            out_val = out_val + _z()
+        out_ref[0] = out_val
+
+
+def _mha_bwd_kernel_dt2(
+    seed_ref,
+    x_ref, brow_ref, g_ref, beta_ref, wqkvp_ref, wqkv480_ref, wpp_ref,
+    scale_ref, dout_ref, ohT_ref, lse_ref,
+    dx_ref, dg_ref, dbeta_ref, dwqkvT_ref, dwp_ref,
+    dscale_ref, dbp_ref, dbrow_ref,
+    proj_scr, dot_scr, dout_scr, dx_scr, ln_scr, dbp_scr,
+    *, n_real: int, num_heads: int, dp: int,
+    use_lsa: bool, dropout_rate: float, deterministic: bool,
+    out_dropout: bool, fold_residual: bool,
+):
+    """Whole-sequence backward, transposed-score orientation. Batched at
+    h==0: the three all-head transposed projections AND the all-head
+    do^T = Wp x dout^T (plus the out-dropout-masked cotangent and dbp).
+    Per head only the five N^2 matmuls and four (DP, ...) gradient matmuls
+    remain — the per-head (E, D) projection matmuls of the dt1 kernel
+    (~10 us of its 43 us program) are amortized across heads."""
+    b, h = pl.program_id(0), pl.program_id(1)
+    npad = x_ref.shape[1]
+
+    @pl.when(h == 0)
+    def _init_per_batch():
+        ln, _, _ = _layernorm(
+            (x_ref[0] + brow_ref[0]).astype(jnp.float32),
+            g_ref[0], beta_ref[0],
+        )
+        ln_scr[...] = ln.astype(ln_scr.dtype)
+        dx_scr[...] = jnp.zeros_like(dx_scr)
+        lnv = ln_scr[...]
+        proj_scr[...] = jax.lax.dot_general(
+            wqkvp_ref[...], lnv, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(proj_scr.dtype)
+        dout = dout_ref[0]
+        if out_dropout and dropout_rate > 0.0 and not deterministic:
+            keep = _out_keep_mask(seed_ref[0], b, 0, 1, dout.shape,
+                                  1.0 - dropout_rate)
+            dout = jnp.where(
+                keep,
+                dout * jnp.asarray(1.0 / (1.0 - dropout_rate), dout.dtype),
+                jnp.asarray(0.0, dout.dtype),
+            )
+        dout_scr[...] = dout
+        dbp_scr[...] = jnp.sum(dout.astype(jnp.float32), axis=0,
+                               keepdims=True)
+        # do^T for ALL heads: (H*DP, N) = Wp_pad (H*DP, E) x dout^T
+        dot_scr[...] = jax.lax.dot_general(
+            wpp_ref[...], dout, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dot_scr.dtype)
+
+    hp = num_heads * dp
+    rows = pl.ds(h * dp, dp)
+    scale = scale_ref[0, h]
+    qrawT = proj_scr[pl.ds(h * dp, dp), :]
+    kT = proj_scr[pl.ds(hp + h * dp, dp), :]
+    vT = proj_scr[pl.ds(2 * hp + h * dp, dp), :]
+    qT = (qrawT.astype(jnp.float32) * scale).astype(kT.dtype)
+    doT = dot_scr[rows, :]  # (DP, N) bf16
+    oT = ohT_ref[0, 0]      # (DP, N)
+
+    bits = None
+    if dropout_rate > 0.0 and not deterministic:
+        bh = b * num_heads + h
+        bits = _dropout_raw_bits(seed_ref[0], bh, 0, 0, 1, 1, (npad, npad))
+
+    delta_row = jnp.sum(
+        doT.astype(jnp.float32) * oT.astype(jnp.float32),
+        axis=0, keepdims=True,
+    )  # (1, N_q)
+    lse = lse_ref[0, 0][:1, :]  # (1, N_q)
+
+    sT = jax.lax.dot_general(
+        kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sT = _apply_mask_t(sT, n_real, use_lsa)
+    pT = jnp.exp(sT - lse)
+    dpT_raw = jax.lax.dot_general(
+        vT, doT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N_k, N_q)
+    if bits is not None:
+        pT_dropped, dpT = _apply_keep_halves(
+            bits, (pT, dpT_raw), 1.0 - dropout_rate,
+            1.0 / (1.0 - dropout_rate),
+        )
+    else:
+        pT_dropped = pT
+        dpT = dpT_raw
+    dsT = (pT * (dpT - delta_row)).astype(kT.dtype)
+
+    dqT = jax.lax.dot_general(
+        kT, dsT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (DP, N_q): contract keys
+    dkT = jax.lax.dot_general(
+        qT, dsT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (DP, N_k): contract queries
+    dvT = jax.lax.dot_general(
+        doT, pT_dropped.astype(kT.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (DP, N_k)
+
+    dscale_ref[0, 0] = jnp.broadcast_to(
+        jnp.sum(qrawT.astype(jnp.float32) * dqT), (8, 128)
+    )
+    # stack [dq_raw^T; dk^T; dv^T] (3*DP, N) once: ONE matmul then yields
+    # all three transposed weight gradients and ONE matmul the d(ln)
+    # contribution (wqkv480 is the per-head [Wq|Wk|Wv] (E, 3*DP) stack)
+    dyT = jnp.concatenate(
+        [
+            (dqT * scale).astype(kT.dtype),
+            dkT.astype(kT.dtype),
+            dvT.astype(kT.dtype),
+        ],
+        axis=0,
+    )
+    ln = ln_scr[...]
+    dx_scr[...] += jax.lax.dot_general(
+        dyT, wqkv480_ref[0], (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwqkvT_ref[0, 0] = jax.lax.dot_general(
+        dyT, ln, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (3*DP, E)
+    dwp_ref[0, 0] = jax.lax.dot_general(
+        oT, dout_scr[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (DP, E)
+
+    @pl.when(h == num_heads - 1)
+    def _write_dx():
+        gamma = g_ref[0]
+        _, xhat, inv = _layernorm(
+            (x_ref[0] + brow_ref[0]).astype(jnp.float32),
+            gamma, beta_ref[0],
+        )
+        dln = dx_scr[...]
+        dg_ref[0] = jnp.sum(dln * xhat, axis=0, keepdims=True)
+        dbeta_ref[0] = jnp.sum(dln, axis=0, keepdims=True)
+        dbp_ref[0] = dbp_scr[...]
+        dxhat = dln * gamma
+        dx = inv * (
+            dxhat
+            - jnp.mean(dxhat, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        )
+        if fold_residual:
+            dx = dx + dout_ref[0].astype(jnp.float32)
+        dbrow_ref[0] = jnp.sum(dx, axis=0, keepdims=True)
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _dt2_weights(wqkv, wp, dp: int):
+    """Pad per-head D to DP and lay the projection weights out for the dt2
+    kernels: wqkvp (3, E, H*DP) for the batched transposed projections,
+    wqkv160 (3, H, E, DP) for the in-kernel d(ln) matmuls, wpp (H*DP, E)
+    for the batched do^T and the per-head output projection slices."""
+    three, heads, e, d = wqkv.shape
+    pad = dp - d
+    wqkv_p = jnp.pad(wqkv, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    wqkvp = jnp.concatenate(
+        [
+            jnp.transpose(wqkv_p[t], (1, 0, 2)).reshape(e, heads * dp)
+            for t in range(three)
+        ],
+        axis=1,
+    )  # (E, 3*H*DP), blocks [q_all | k_all | v_all]
+    # per-head stacked [Wq_h | Wk_h | Wv_h] (E, 3*DP) for the one-matmul
+    # d(ln) contraction in the backward
+    wqkv480 = jnp.concatenate(
+        [wqkv_p[t] for t in range(three)], axis=-1
+    )  # (H, E, 3*DP)
+    wp_p = jnp.pad(wp, ((0, 0), (0, pad), (0, 0)))  # (H, DP, E)
+    wpp = wp_p.reshape(heads * dp, e)
+    return wqkvp, wqkv480, wpp
+
+
+def _mha_forward_dt2(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *,
+                     cfg, save_residuals=True):
+    b, npad, e = x_pad.shape
+    d = wqkv.shape[-1]
+    dp = _round_up(d, 16)
+    h = cfg["num_heads"]
+    wqkvp, _, wpp = _dt2_weights(wqkv, wp, dp)
+    grid = (b, h)
+    res_specs = [
+        pl.BlockSpec((1, 1, dp, npad), lambda bi, hi, *_: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, 8, npad), lambda bi, hi, *_: (bi, hi, 0, 0)),
+    ]
+    res_shapes = [
+        jax.ShapeDtypeStruct((b, h, dp, npad), x_pad.dtype),
+        jax.ShapeDtypeStruct((b, h, 8, npad), jnp.float32),
+    ]
+    if not save_residuals:
+        res_specs, res_shapes = [], []
+    results = pl.pallas_call(
+        functools.partial(
+            _mha_fwd_kernel_dt2, save_residuals=save_residuals, dp=dp,
+            **_dt_cfg(cfg)
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),  # gamma
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),  # beta
+                pl.BlockSpec((e, 3 * h * dp), lambda bi, hi, *_: (0, 0)),
+                pl.BlockSpec((h * dp, e), lambda bi, hi, *_: (0, 0)),
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+            ] + res_specs,
+            scratch_shapes=[
+                pltpu.VMEM((3 * h * dp, npad), x_pad.dtype),  # qT/kT/vT
+                pltpu.VMEM((npad, e), jnp.float32),          # projection accum
+                pltpu.VMEM((npad, e), x_pad.dtype),          # layernorm(x)
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, e), x_pad.dtype),
+        ] + res_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(seed, x_pad, brow, gamma, beta, wqkvp, wpp, bp, scale)
+    if not save_residuals:
+        return results[0], None, None
+    return tuple(results)
+
+
+def _mha_backward_dt2(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, ohT,
+                      lse, dout, *, cfg):
+    b, npad, e = x_pad.shape
+    d = wqkv.shape[-1]
+    dp = _round_up(d, 16)
+    h = cfg["num_heads"]
+    wqkvp, wqkv480, wpp = _dt2_weights(wqkv, wp, dp)
+    grid = (b, h)
+    (dx, dg, dbeta, dwqkvT, dwp, dscale, dbp,
+     dbrow) = pl.pallas_call(
+        functools.partial(_mha_bwd_kernel_dt2, dp=dp, **_dt_cfg(cfg)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),  # gamma
+                pl.BlockSpec((1, e), lambda bi, hi, *_: (0, 0)),  # beta
+                pl.BlockSpec((e, 3 * h * dp), lambda bi, hi, *_: (0, 0)),
+                pl.BlockSpec(
+                    (1, e, 3 * dp), lambda bi, hi, *_: (hi, 0, 0)
+                ),
+                pl.BlockSpec((h * dp, e), lambda bi, hi, *_: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, dp, npad), lambda bi, hi, *_: (bi, hi, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8, npad), lambda bi, hi, *_: (bi, hi, 0, 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, npad, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 3 * dp, e), lambda bi, hi, *_: (bi, hi, 0, 0)
+                ),
+                pl.BlockSpec((1, 1, dp, e), lambda bi, hi, *_: (bi, hi, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 8, 128), lambda bi, hi, *_: (bi, hi, 0, 0)
+                ),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, e), lambda bi, hi, *_: (bi, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((3 * h * dp, npad), x_pad.dtype),  # qT/kT/vT
+                pltpu.VMEM((h * dp, npad), x_pad.dtype),     # do^T all heads
+                pltpu.VMEM((npad, e), x_pad.dtype),          # masked dout
+                pltpu.VMEM((npad, e), jnp.float32),          # d(ln) accum
+                pltpu.VMEM((npad, e), x_pad.dtype),          # layernorm(x)
+                pltpu.VMEM((1, e), jnp.float32),             # dbp
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, e), x_pad.dtype),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 3 * dp, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, dp, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, e), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(seed, x_pad, brow, gamma, beta, wqkvp, wqkv480, wpp, scale, dout,
+      ohT, lse)
+    # split the stacked (3*DP, E) gradient back into q/k/v rows
+    dwqT = dwqkvT[:, :, 0 * dp:0 * dp + dp, :]
+    dwkT = dwqkvT[:, :, 1 * dp:1 * dp + dp, :]
+    dwvT = dwqkvT[:, :, 2 * dp:2 * dp + dp, :]
+    return dx, dg, dbeta, dwqT, dwkT, dwvT, dwp, dscale, dbp, dbrow
 
 
 def _mha_bwd_kernel(
@@ -1002,7 +1445,8 @@ def _mha_core(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed):
     # per-head output + LSE residual writebacks entirely (132 MB/block at
     # the flagship shapes)
     cfg = _pack_static(*static_cfg)
-    fwd = _mha_forward_dt if cfg["dt"] else _mha_forward
+    fwd = {0: _mha_forward, 1: _mha_forward_dt, 2: _mha_forward_dt2}[
+        cfg["dt"]]
     out, _, _ = fwd(
         x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg,
         save_residuals=False,
@@ -1013,7 +1457,8 @@ def _mha_core(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed):
 def _mha_core_fwd(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale,
                   seed):
     cfg = _pack_static(*static_cfg)
-    fwd = _mha_forward_dt if cfg["dt"] else _mha_forward
+    fwd = {0: _mha_forward, 1: _mha_forward_dt, 2: _mha_forward_dt2}[
+        cfg["dt"]]
     out, oh, lse = fwd(
         x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, cfg=cfg
     )
@@ -1023,11 +1468,17 @@ def _mha_core_fwd(static_cfg, x_pad, brow, gamma, beta, wqkv, wp, bp, scale,
 def _mha_core_bwd(static_cfg, residuals, dout):
     cfg = _pack_static(*static_cfg)
     x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse = residuals
-    bwd = _mha_backward_dt if cfg["dt"] else _mha_backward
+    bwd = {0: _mha_backward, 1: _mha_backward_dt, 2: _mha_backward_dt2}[
+        cfg["dt"]]
     dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp_p, dbrow = bwd(
         x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse,
         dout.astype(x_pad.dtype), cfg=cfg,
     )
+    if cfg["dt"] == 2:
+        # dt2 emits (DP, .) rows padded to the 16-sublane multiple
+        d = wqkv.shape[-1]
+        dwq, dwk, dwv = (y[:, :, :d, :] for y in (dwq, dwk, dwv))
+        dwp = dwp[:, :, :d, :]
     if cfg["dt"]:
         # dt kernels emit per-(b, h) weight gradients transposed (D, E)
         dwq = jnp.swapaxes(dwq, -1, -2)
@@ -1134,7 +1585,8 @@ def fused_mha(
     static_cfg = (
         n, int(num_heads), nq, nk, block_k, bool(use_lsa),
         float(dropout_rate), bool(deterministic), bool(fold_out_dropout),
-        bool(fold_residual), bool(_DT_FORM and nq == 1 and nk == 1),
+        bool(fold_residual),
+        (_DT_FORM if (nq == 1 and nk == 1) else 0),
     )
     scale = jnp.broadcast_to(
         jnp.asarray(scale, jnp.float32).reshape(-1), (num_heads,)
