@@ -184,3 +184,29 @@ def test_seq_parallel_dropout_trains():
         assert not np.allclose(np.asarray(train_out), np.asarray(eval_out))
     finally:
         set_sequence_mesh(None)
+
+
+def test_sp_bypasses_fused_attention_predicate():
+    """--sequence_parallel takes the composed attention path, giving up the
+    fused sublayer kernel at small token counts (documented trade, warned
+    in train.py): the predicate fires exactly when the fused kernel would
+    have engaged on a single TPU chip."""
+    from v1t_tpu.configs import Config
+    from v1t_tpu.models.cores.vit import (
+        FUSED_MAX_N,
+        sp_bypasses_fused_attention,
+    )
+
+    bf16 = Config(precision="bf16", attention_impl="auto")
+    # flagship 1654 tokens: fused path would engage -> SP costs kernel speed
+    assert sp_bypasses_fused_attention(bf16, 1654)
+    # full-resolution 34k tokens: beyond the fused kernel's VMEM envelope,
+    # SP gives up nothing
+    assert not sp_bypasses_fused_attention(bf16, FUSED_MAX_N + 1)
+    # fp32 / xla paths never used the fused kernel
+    assert not sp_bypasses_fused_attention(
+        Config(precision="fp32", attention_impl="auto"), 1654
+    )
+    assert not sp_bypasses_fused_attention(
+        Config(precision="bf16", attention_impl="xla"), 1654
+    )

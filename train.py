@@ -111,6 +111,18 @@ def main(config: Config, wandb_sweep: bool = False):
             mesh.mesh, axis="seq", impl=config.sequence_parallel_impl,
             batch_axis="data",
         )
+        if config.core == "vit":
+            from v1t_tpu.models.cores.vit import sp_bypasses_fused_attention
+
+            ntok = model.core.num_patches + 1  # + CLS
+            if sp_bypasses_fused_attention(config, ntok):
+                print(
+                    f"WARNING: --sequence_parallel shards attention through "
+                    f"the composed (non-fused) path; at {ntok} tokens the "
+                    f"fused sublayer kernel is faster on a single chip — "
+                    f"use sequence parallelism only when the token count or "
+                    f"memory requires it."
+                )
     elif config.sequence_parallel > 1:
         print(
             f"WARNING: --sequence_parallel {config.sequence_parallel} "

@@ -69,6 +69,23 @@ def _fused_attention_eligible(
         and n <= FUSED_MAX_N
     )
 
+def sp_bypasses_fused_attention(config, num_tokens: int) -> bool:
+    """True when ``--sequence_parallel`` would bypass a fused attention
+    sublayer kernel that WOULD have engaged on a single chip at this token
+    count — i.e. SP is costing single-chip kernel speed in exchange for
+    token sharding. The SP bodies (parallel/sequence.py) take the
+    composed-projection path by design: the fused kernel holds the whole
+    (npad, npad) score block in VMEM, which is exactly what token sharding
+    exists to avoid, so fusing it under a seq mesh would cap SP at the
+    shapes that don't need SP. At full-resolution token counts
+    (> FUSED_MAX_N) nothing is given up. train.py warns on this predicate;
+    pinned by tests/test_sequence_parallel.py."""
+    dtype = jnp.bfloat16 if config.precision == "bf16" else None
+    return _fused_attention_eligible(
+        dtype, config.attention_impl, num_tokens, backend="tpu"
+    )
+
+
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
