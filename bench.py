@@ -91,7 +91,12 @@ def main():
     from v1t_tpu.losses import get_criterion
     from v1t_tpu.models import model_regularizer
 
-    batch_size = int(os.environ.get("V1T_BENCH_BATCH", 64))
+    # 96 is the tuned single-chip training batch (BENCH_NOTES round 4:
+    # +1.1% per-image over 64 — per-(b,h) kernel work is batch-invariant
+    # and the fixed per-step dispatch/tail amortizes). The trainer takes
+    # any batch size; throughput is per image, so the comparison against
+    # the per-image A100 denominator is unchanged.
+    batch_size = int(os.environ.get("V1T_BENCH_BATCH", 96))
     config, card, model, params, data = _flagship_case(batch_size)
     images, behaviors, pupils, responses = data
     criterion = get_criterion(config, card.ds_sizes)

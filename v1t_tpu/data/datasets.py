@@ -178,7 +178,9 @@ def pack_mouse_dir(mouse_dir: str, verbose: int = 1) -> str:
     # destination memmap, so no synchronization is needed
     import concurrent.futures
 
-    workers = min(16, os.cpu_count() or 4)
+    workers = int(os.environ.get("V1T_PACK_WORKERS") or 0) or min(
+        16, os.cpu_count() or 4
+    )
 
     def _pack_field(field: str):
         first = np.load(os.path.join(mouse_dir, "data", field, "0.npy"))
