@@ -138,14 +138,17 @@ def _apply_keep_halves(bits, arrs, keep_prob: float, inv_scale: float):
     half = arrs[0].shape[0] // 2
     outs = []
     for a in arrs:
-        scale = jnp.asarray(inv_scale, a.dtype)
         zero = jnp.asarray(0.0, a.dtype)
+        if inv_scale == 1.0:
+            # select-only: callers that fold the 1/keep_prob scale into a
+            # smaller downstream operand skip this full-size multiply pass
+            top, bot = a[:half], a[half:]
+        else:
+            scale = jnp.asarray(inv_scale, a.dtype)
+            top, bot = a[:half] * scale, a[half:] * scale
         outs.append(
             jnp.concatenate(
-                [
-                    jnp.where(lo, a[:half] * scale, zero),
-                    jnp.where(hi, a[half:] * scale, zero),
-                ],
+                [jnp.where(lo, top, zero), jnp.where(hi, bot, zero)],
                 axis=0,
             )
         )

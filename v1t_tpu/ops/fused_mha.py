@@ -55,6 +55,10 @@ from v1t_tpu.ops.flash_attention import (
 
 BLOCK_Q = 256
 BLOCK_K = 896
+# exp2-softmax constants (dt2 kernels): log2(e) folds into the score scale
+# so the softmax exp runs as the VPU-native exp2 without the x*log2e pass
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 # whole-sequence mode: one q block and one k block per (batch, head) program.
 # Only the lane-tile alignment (128) pads the token axis — for V1T's 1654
 # tokens that is npad 1664 vs 1792 with 256-row blocks, i.e. 13.8% less work
@@ -591,7 +595,12 @@ def _mha_fwd_kernel_dt2(
         ).astype(proj_scr.dtype)
 
     hp = num_heads * dp
-    scale = scale_ref[0, h]
+    # log2(e) folds into the learned score scale so the softmax runs on the
+    # VPU's native exp2 (saves the x*log2e pass inside exp, fwd AND bwd).
+    # The backward's gradient lines are UNCHANGED: p is the same function of
+    # (q_raw, scale) in any log base, and the base-2 softmax jacobian's ln2
+    # cancels against the log2e in d(scores)/d(q_raw) and d/d(scale).
+    scale = scale_ref[0, h] * LOG2E
     qrawT = proj_scr[pl.ds(h * dp, dp), :]  # (DP, N) bf16
     kT = proj_scr[pl.ds(hp + h * dp, dp), :]
     vT = proj_scr[pl.ds(2 * hp + h * dp, dp), :]
@@ -604,24 +613,26 @@ def _mha_fwd_kernel_dt2(
 
     sT = jax.lax.dot_general(
         kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (N_k, N_q)
+    )  # (N_k, N_q) in log2 units
     sT = _apply_mask_t(sT, n_real, use_lsa)
     m = jnp.max(sT, axis=0, keepdims=True)   # (1, N_q)
-    pT = jnp.exp(sT - m)
+    pT = jnp.exp2(sT - m)
     l = jnp.sum(pT, axis=0, keepdims=True)   # (1, N_q)
     if bits is not None:
-        (pT,) = _apply_keep_halves(
-            bits, (pT,), 1.0 - dropout_rate, 1.0 / (1.0 - dropout_rate)
-        )
+        # select-only: the 1/keep_prob survivor scale folds into l_inv
+        (pT,) = _apply_keep_halves(bits, (pT,), 1.0 - dropout_rate, 1.0)
     outT = jax.lax.dot_general(
         vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (DP, N_q): contract keys (lanes of vT x sublanes of pT)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    if bits is not None:
+        l_inv = l_inv * (1.0 / (1.0 - dropout_rate))
     oT = (outT * l_inv).astype(out_ref.dtype)
     if save_residuals:
         ohT_ref[0, 0] = oT
-        lse_val = m + jnp.log(jnp.maximum(l, 1e-37))
+        # log2-domain lse: the backward recomputes pT = exp2(sT - lse)
+        lse_val = m + jnp.log2(jnp.maximum(l, 1e-37))
         lse_ref[0, 0] = jnp.broadcast_to(lse_val, (8, npad))
 
     proj = jax.lax.dot_general(
@@ -706,7 +717,13 @@ def _mha_bwd_kernel_dt2(
 
     hp = num_heads * dp
     rows = pl.ds(h * dp, dp)
-    scale = scale_ref[0, h]
+    # log2(e)-folded score scale: see the forward kernel. dsT below is the
+    # NATURAL-log score gradient (the base-2 jacobian's ln2 cancels), so
+    # every line contracting dsT against an UNSCALED operand is unchanged;
+    # the two lines that consume the scaled qT (dkT) or the scale itself
+    # (dy_q) use scale_nat / a ln2 correction.
+    scale_nat = scale_ref[0, h]
+    scale = scale_nat * LOG2E
     qrawT = proj_scr[pl.ds(h * dp, dp), :]
     kT = proj_scr[pl.ds(hp + h * dp, dp), :]
     vT = proj_scr[pl.ds(2 * hp + h * dp, dp), :]
@@ -715,29 +732,37 @@ def _mha_bwd_kernel_dt2(
     oT = ohT_ref[0, 0]      # (DP, N)
 
     bits = None
+    inv_keep = 1.0
     if dropout_rate > 0.0 and not deterministic:
         bh = b * num_heads + h
         bits = _dropout_raw_bits(seed_ref[0], bh, 0, 0, 1, 1, (npad, npad))
+        inv_keep = 1.0 / (1.0 - dropout_rate)
 
     delta_row = jnp.sum(
         doT.astype(jnp.float32) * oT.astype(jnp.float32),
         axis=0, keepdims=True,
     )  # (1, N_q)
-    lse = lse_ref[0, 0][:1, :]  # (1, N_q)
+    lse = lse_ref[0, 0][:1, :]  # (1, N_q), log2 domain
 
     sT = jax.lax.dot_general(
         kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     sT = _apply_mask_t(sT, n_real, use_lsa)
-    pT = jnp.exp(sT - lse)
+    pT = jnp.exp2(sT - lse)
+    # the 1/keep_prob survivor scale folds into the SMALL (DP, N) operand
+    # vT before the dpT matmul (and into dvT after its matmul) instead of
+    # running as full (N, N) multiply passes inside the keep selects
+    vT_dp = (
+        (vT.astype(jnp.float32) * inv_keep).astype(vT.dtype)
+        if bits is not None else vT
+    )
     dpT_raw = jax.lax.dot_general(
-        vT, doT, (((0,), (0,)), ((), ())),
+        vT_dp, doT, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (N_k, N_q)
     if bits is not None:
         pT_dropped, dpT = _apply_keep_halves(
-            bits, (pT, dpT_raw), 1.0 - dropout_rate,
-            1.0 / (1.0 - dropout_rate),
+            bits, (pT, dpT_raw), 1.0 - dropout_rate, 1.0
         )
     else:
         pT_dropped = pT
@@ -754,6 +779,8 @@ def _mha_bwd_kernel_dt2(
         doT, pT_dropped.astype(kT.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (DP, N_k)
+    if bits is not None:
+        dvT = dvT * inv_keep
 
     dscale_ref[0, 0] = jnp.broadcast_to(
         jnp.sum(qrawT.astype(jnp.float32) * dqT), (8, 128)
@@ -763,8 +790,9 @@ def _mha_bwd_kernel_dt2(
     # contribution (wqkv480 is the per-head [Wq|Wk|Wv] (E, 3*DP) stack)
     dyT = jnp.concatenate(
         [
-            (dqT * scale).astype(kT.dtype),
-            dkT.astype(kT.dtype),
+            (dqT * scale_nat).astype(kT.dtype),
+            # dkT contracted the LOG2E-scaled qT: correct by ln2
+            (dkT * LN2).astype(kT.dtype),
             dvT.astype(kT.dtype),
         ],
         axis=0,
