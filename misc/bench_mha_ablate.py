@@ -135,11 +135,11 @@ def _kernel(
         out_ref[0] = acc_scr[...].astype(out_ref.dtype)
 
 
-def _build(ablate, dropout_rate):
+def _build(ablate, dropout_rate, reps):
     npad = _round_up(N, 128)
     dp = _round_up(D, 16)
 
-    def call(x_pad, brow, gamma, beta, wqkvp, wpp, bp, scale, seed):
+    def one(x_pad, brow, gamma, beta, wqkvp, wpp, bp, scale, seed):
         return pl.pallas_call(
             functools.partial(
                 _kernel, n_real=N, num_heads=HEADS, dp=dp,
@@ -174,6 +174,18 @@ def _build(ablate, dropout_rate):
             ),
         )(seed, x_pad, brow, gamma, beta, wqkvp, wpp, bp, scale)[0]
 
+    def call(x_pad, brow, gamma, beta, wqkvp, wpp, bp, scale, seed):
+        # reps serially-chained invocations (out -> next x; the leading
+        # LayerNorm renormalizes every round so magnitudes stay put), then
+        # a scalar reduce the caller pulls to host — the only sync the
+        # axon relay honors reliably. Slope between two reps counts
+        # cancels RTT + dispatch.
+        def body(i, x):
+            return one(x, brow, gamma, beta, wqkvp, wpp, bp, scale,
+                       seed + i)
+        x = jax.lax.fori_loop(0, reps, body, x_pad)
+        return jnp.sum(x[0, :8, :].astype(jnp.float32))
+
     return jax.jit(call), npad, dp
 
 
@@ -195,28 +207,35 @@ def main():
     wqkvp, _, wpp = _dt2_weights(wqkv, wp, dp)
     bp = jnp.zeros((1, E), jnp.bfloat16)
     scale = jnp.full((1, HEADS), E ** -0.5, jnp.float32)
-    seed = jnp.zeros((1,), jnp.int32)
-    args = (x_pad, brow, gamma, beta, wqkvp, wpp, bp, scale, seed)
+    args = (x_pad, brow, gamma, beta, wqkvp, wpp, bp, scale)
 
     variants = ["full", "nodrop", "nomask", "nomax", "noexp", "nosum",
                 "matmuls", "projout"]
     if dropout == 0.0:
         variants.remove("nodrop")
+    REPS_LO, REPS_HI = 8, 40
     results = {}
     for v in variants:
-        fn, _, _ = _build(v, dropout)
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(20):
-                out = fn(*args)
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / 20)
-        results[v] = best * 1e3
-        us = best * 1e6 / (B * HEADS)
-        print(f"{v:10s} {best*1e3:8.3f} ms   {us:6.2f} us/(b,h)")
+        times = {}
+        for reps in (REPS_LO, REPS_HI):
+            fn, _, _ = _build(v, dropout, reps)
+            sd = jnp.full((1,), 7, jnp.int32)
+            val = float(fn(*args, sd))  # compile + real host-pull sync
+            # math-wrong timing variants (noexp feeds unnormalized scores
+            # downstream) may chain to non-finite values; timing is valid
+            assert np.isfinite(val) or v in (
+                "noexp", "nomax", "nosum", "nomask", "matmuls"
+            ), (v, reps, val)
+            best = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                val = float(fn(*args, sd))
+                best = min(best, time.perf_counter() - t0)
+            times[reps] = best
+        per_call = (times[REPS_HI] - times[REPS_LO]) / (REPS_HI - REPS_LO)
+        results[v] = per_call * 1e3
+        us = per_call * 1e6 / (B * HEADS)
+        print(f"{v:10s} {per_call*1e3:8.3f} ms   {us:6.2f} us/(b,h)")
     full = results["full"]
     print("-- deltas vs full (positive = piece costs this much) --")
     for v, ms in results.items():

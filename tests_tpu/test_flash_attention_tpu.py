@@ -26,13 +26,22 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(params=["0", "1"], ids=["legacy", "dt"])
+def dt_mode(request, monkeypatch):
+    """Run the parity tests against BOTH blocked-kernel orientations: the
+    legacy (tokens, D) tiles and the dt-form transposed (D, tokens) tiles
+    (auto-selected for long sequences where whole-K doesn't fit VMEM)."""
+    monkeypatch.setenv("V1T_FLASH_DT_BLOCKED", request.param)
+    return request.param
+
+
 def _qkv(b=2, h=4, n=1654, d=155, dtype=jnp.float32, seed=0):
     rng = np.random.default_rng(seed)
     mk = lambda: jnp.asarray(rng.normal(size=(b, h, n, d)), dtype)
     return mk(), mk(), mk()
 
 
-def test_forward_matches_xla():
+def test_forward_matches_xla(dt_mode):
     q, k, v = _qkv()
     scale = jnp.float32(155**-0.5)
     ref = _attention_xla(q, k, v, scale, False, 0.0, True, None, False)
@@ -40,7 +49,7 @@ def test_forward_matches_xla():
     assert float(jnp.max(jnp.abs(out - ref))) < 5e-3
 
 
-def test_lsa_matches_xla():
+def test_lsa_matches_xla(dt_mode):
     q, k, v = _qkv()
     scale = jnp.full((4,), 155**-0.5, jnp.float32)
     ref = _attention_xla(q, k, v, scale, True, 0.0, True, None, False)
@@ -48,7 +57,7 @@ def test_lsa_matches_xla():
     assert float(jnp.max(jnp.abs(out - ref))) < 5e-3
 
 
-def test_gradients_match_xla():
+def test_gradients_match_xla(dt_mode):
     q, k, v = _qkv()
     scale = jnp.float32(155**-0.5)
 
@@ -82,7 +91,7 @@ def test_dropout_statistics():
     assert float(jnp.mean(jnp.abs(jnp.mean(o1 - det, axis=2)))) < 0.2
 
 
-def test_dropout_backward_uses_same_mask():
+def test_dropout_backward_uses_same_mask(dt_mode):
     """d/dv of sum(out) for dropped-out attention must equal the dropped
     attention weights summed per key — verifying the backward regenerates the
     identical keep mask."""

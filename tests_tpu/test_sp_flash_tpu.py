@@ -35,7 +35,15 @@ def _qkv(b=2, h=2, nq=64, nk=192, d=32, seed=0, dtype=jnp.float32):
     )
 
 
-def test_rectangular_flash_matches_einsum():
+@pytest.fixture(params=["0", "1"], ids=["legacy", "dt"])
+def dt_mode(request, monkeypatch):
+    """Both blocked-kernel orientations (see flash_attention._use_dt_blocked;
+    the dt form is what long-sequence SP shards actually run)."""
+    monkeypatch.setenv("V1T_FLASH_DT_BLOCKED", request.param)
+    return request.param
+
+
+def test_rectangular_flash_matches_einsum(dt_mode):
     """q 64 tokens against 192 keys with the tail 32 masked."""
     q, k, v = _qkv()
     out, lse = jax.jit(
@@ -44,15 +52,19 @@ def test_rectangular_flash_matches_einsum():
     ref_out, ref_lse = _einsum_block(
         q, k, v, use_lsa=False, q_offset=0, k_offset=0, n_real=160
     )
+    # the dt orientation accumulates the fp32 matmuls in a different order
+    # than XLA's einsum (measured 3.5e-5 max abs vs 1.2e-5 for the legacy
+    # tiles); both are fp32-level agreement — production dtype is bf16
+    tol = 1e-4 if dt_mode == "1" else 2e-5
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref_out), rtol=2e-5, atol=2e-5
+        np.asarray(out), np.asarray(ref_out), rtol=tol, atol=tol
     )
     np.testing.assert_allclose(
         np.asarray(lse), np.asarray(ref_lse)[..., 0], rtol=2e-5, atol=2e-5
     )
 
 
-def test_two_block_lse_combination_matches_full_attention():
+def test_two_block_lse_combination_matches_full_attention(dt_mode):
     """Split the keys in two flash calls and combine via LSE — must equal
     single full attention, forward AND gradients (the gradient flows through
     the returned LSE, exercising the dlse -> delta backward fold)."""

@@ -32,6 +32,11 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 import os as _os
 
 NUM_LANES = 128
+# exp2-softmax constants: log2(e) folds into the score scale so softmax
+# runs on the VPU-native exp2; the base-2 jacobian's ln2 is folded once
+# into ds in the backward kernels (see _dq_kernel_dt)
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 
 def env_int(name: str) -> int:
@@ -196,6 +201,20 @@ def _apply_mask(s, qi, kj, n_real: int, use_lsa: bool):
         mask = _block_mask(qi, kj, s.shape, n_real, use_lsa)
         return jnp.where(mask, s, MASK_VALUE)
     return s + _key_pad_bias(kj, s.shape[1], n_real)
+
+
+def _apply_mask_dt(s, qi, kj, n_real: int, use_lsa: bool):
+    """Transposed-scores mask: keys on SUBLANES (axis 0), queries on lanes
+    (axis 1). Same semantics as _apply_mask: pad keys -> MASK_VALUE, LSA
+    masks the global diagonal."""
+    if use_lsa:
+        key = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + kj * s.shape[0]
+        qry = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + qi * s.shape[1]
+        mask = jnp.logical_and(key < n_real, key != qry)
+        return jnp.where(mask, s, MASK_VALUE)
+    key = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) \
+        + kj * s.shape[0]
+    return s + jnp.where(key < n_real, 0.0, MASK_VALUE)
 
 
 # --- forward -------------------------------------------------------------------
@@ -392,9 +411,38 @@ def _fullk_fits(nk_pad: int, d_pad: int, itemsize: int) -> bool:
     )
 
 
+def _use_dt_blocked(n: int, d: int, itemsize: int, block_k: int) -> bool:
+    """dt-form blocked kernels: on (default) exactly where the whole-K
+    kernels DON'T fit VMEM — long sequences (full-res 34k tokens, large SP
+    shards), where the streamed 3-grid kernels run either way and the dt
+    orientation cuts the head-dim lane pad 1.65x -> 1.03x on every N^2
+    matmul. V1T_FLASH_DT_BLOCKED=1 forces, =0 disables."""
+    env = _os.environ.get("V1T_FLASH_DT_BLOCKED", "auto").strip().lower()
+    if env in ("1", "true", "force"):
+        return True
+    if env in ("0", "false"):
+        return False
+    if env not in ("", "auto"):
+        raise ValueError(
+            f"V1T_FLASH_DT_BLOCKED={env!r} must be auto/0/1"
+        )
+    nk_pad = _round_up(n, block_k)
+    return not _fullk_fits(nk_pad, _round_up(d, 128), itemsize)
+
+
 def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate,
-                   deterministic, block_q, block_k):
+                   deterministic, block_q, block_k, dt=False):
     BLOCK_Q, BLOCK_K = block_q, block_k
+    if dt:
+        qT = jnp.swapaxes(q, 1, 2)
+        kT = jnp.swapaxes(k, 1, 2)
+        vT = jnp.swapaxes(v, 1, 2)
+        oT, lse = _flash_forward_dt(
+            qT, kT, vT, seed,
+            n_real=n_real, use_lsa=use_lsa, dropout_rate=dropout_rate,
+            deterministic=deterministic, block_q=BLOCK_Q, block_k=BLOCK_K,
+        )
+        return jnp.swapaxes(oT, 1, 2), lse
     bhn, nq_pad, d_pad = q.shape
     nk_pad = k.shape[1]
     nq, nk = nq_pad // BLOCK_Q, nk_pad // BLOCK_K
@@ -469,6 +517,319 @@ def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate,
         ),
     )(seed, q, k, v)
     return out, lse
+
+
+# --- dt-form (transposed-operand) blocked kernels ---------------------------------
+#
+# The legacy blocked kernels keep every tile in (tokens, D) orientation, so
+# D=155 pads to 256 LANES — 1.65x MACs on all seven N^2 matmuls. The dt
+# orientation (measured per-form on v5e, misc/bench_dtform_matmul.py; same
+# insight as fused_mha's whole-sequence dt2 kernels) keeps q/k/v/do
+# transposed (D, tokens): the head dim pads only at SUBLANE granularity
+# (160/155 = 1.03x), scores run transposed (BLOCK_K, BLOCK_Q) with softmax
+# reducing over the sublane (key) axis. The softmax exp runs as the
+# VPU-native exp2: scores scale by log2(e) INLINE in the pass that already
+# masks them (elementwise work between matmuls fuses ~free), so incoming q
+# keeps its natural-units contract (the SP entry point pre-folds the score
+# scale into q) and every gradient formula stays in natural units — no ln2
+# corrections anywhere. The LSE residual keeps the legacy NATURAL-log
+# contract (the sequence-parallel combiner consumes it). Dropout masks
+# decode inline from raw 16-bit PRNG draws (select-only; the 1/keep_prob
+# survivor scale folds into l_inv forward, and into vT/dvT around their
+# matmuls in the backward). Replaces reference vit.py:253-284 semantics
+# identically.
+
+
+def _fwd_kernel_dt(
+    seed_ref,
+    qT_ref, kT_ref, vT_ref,
+    oT_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, n_real: int, nq: int, nk: int, use_lsa: bool,
+    dropout_rate: float, deterministic: bool,
+):
+    bh, qi, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    qT = qT_ref[0]  # (DP, BLOCK_Q)
+    kT = kT_ref[0]  # (DP, BLOCK_K)
+    sT = jax.lax.dot_general(
+        kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BLOCK_K, BLOCK_Q)
+    # log2 units from here on: the multiply fuses into the mask pass
+    sT = _apply_mask_dt(sT * LOG2E, qi, kj, n_real, use_lsa)
+
+    m_prev = m_scr[:1, :]
+    l_prev = l_scr[:1, :]
+    m_curr = jnp.max(sT, axis=0, keepdims=True)  # (1, BLOCK_Q)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp2(m_prev - m_next)
+    pT = jnp.exp2(sT - m_next)
+    l_scr[:1, :] = alpha * l_prev + jnp.sum(pT, axis=0, keepdims=True)
+    m_scr[:1, :] = m_next
+
+    if dropout_rate > 0.0 and not deterministic:
+        bits = _dropout_raw_bits(seed_ref[0], bh, qi, kj, nq, nk, sT.shape)
+        (pT,) = _apply_keep_halves(bits, (pT,), 1.0 - dropout_rate, 1.0)
+
+    vT = vT_ref[0]  # (DP, BLOCK_K)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (DP, BLOCK_Q)
+
+    @pl.when(kj == nk - 1)
+    def _store():
+        l_final = l_scr[:1, :]
+        l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        if dropout_rate > 0.0 and not deterministic:
+            # survivor scale folded off the (N, N) tiles into the row stats
+            l_inv = l_inv * (1.0 / (1.0 - dropout_rate))
+        oT_ref[0] = (acc_scr[...] * l_inv).astype(oT_ref.dtype)
+        # external contract is natural-log LSE (the SP combiner's units)
+        lse_nat = (
+            m_scr[:1, :] + jnp.log2(jnp.maximum(l_final, 1e-37))
+        ) * LN2
+        lse_ref[0] = jnp.broadcast_to(lse_nat, (8, lse_nat.shape[1]))
+
+
+def _flash_forward_dt(qT, kT, vT, seed, *, n_real, use_lsa, dropout_rate,
+                      deterministic, block_q, block_k):
+    """qT/kT/vT: (BH, DP, N*_pad). Returns oT (BH, DP, NQ_pad) and lse
+    (BH, 8, NQ_pad) in natural-log units."""
+    bhn, d_pad, nq_pad = qT.shape
+    nk_pad = kT.shape[2]
+    nq, nk = nq_pad // block_q, nk_pad // block_k
+    kernel = functools.partial(
+        _fwd_kernel_dt,
+        n_real=n_real, nq=nq, nk=nk, use_lsa=use_lsa,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bhn, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, d_pad, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+                pl.BlockSpec((1, d_pad, block_k), lambda bh, qi, kj, *_: (bh, 0, kj)),
+                pl.BlockSpec((1, d_pad, block_k), lambda bh, qi, kj, *_: (bh, 0, kj)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, d_pad, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+                pl.BlockSpec((1, 8, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((8, block_q), jnp.float32),
+                pltpu.VMEM((8, block_q), jnp.float32),
+                pltpu.VMEM((d_pad, block_q), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(qT.shape, qT.dtype),
+            jax.ShapeDtypeStruct((bhn, 8, nq_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(seed, qT, kT, vT)
+    return out, lse
+
+
+def _dq_kernel_dt(
+    seed_ref,
+    qT_ref, kT_ref, vT_ref, doT_ref, lse_ref, delta_ref,
+    dqT_ref,
+    dq_scr,
+    *, n_real: int, nq: int, nk: int, use_lsa: bool,
+    dropout_rate: float, deterministic: bool,
+):
+    """p recomputes as exp2((s - lse_nat) * log2e) — base-2 exp on
+    natural-unit scores, one fused (BLOCK_K, BLOCK_Q) pass. ds stays in
+    natural units so every gradient matmul matches the legacy kernels."""
+    bh, qi, kj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    qT = qT_ref[0]
+    kT = kT_ref[0]
+    vT = vT_ref[0]
+    doT = doT_ref[0]
+    lse = lse_ref[0, :1, :]  # (1, BLOCK_Q), natural log
+    delta = delta_ref[0, :1, :]
+
+    sT = jax.lax.dot_general(
+        kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sT = _apply_mask_dt(sT, qi, kj, n_real, use_lsa)
+    pT = jnp.exp2((sT - lse) * LOG2E)
+
+    bits = None
+    if dropout_rate > 0.0 and not deterministic:
+        bits = _dropout_raw_bits(seed_ref[0], bh, qi, kj, nq, nk, sT.shape)
+        # survivor scale rides the SMALL (DP, BLOCK_K) operand, not the
+        # (BLOCK_K, BLOCK_Q) tile
+        vT = (
+            vT.astype(jnp.float32) * (1.0 / (1.0 - dropout_rate))
+        ).astype(vT.dtype)
+    dpT = jax.lax.dot_general(
+        vT, doT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLOCK_K, BLOCK_Q)
+    if bits is not None:
+        (dpT,) = _apply_keep_halves(bits, (dpT,), 1.0 - dropout_rate, 1.0)
+
+    dsT = pT * (dpT - delta)
+    dq_scr[...] += jax.lax.dot_general(
+        kT, dsT.astype(kT.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (DP, BLOCK_Q)
+
+    @pl.when(kj == nk - 1)
+    def _store():
+        dqT_ref[0] = dq_scr[...].astype(dqT_ref.dtype)
+
+
+def _dkv_kernel_dt(
+    seed_ref,
+    qT_ref, kT_ref, vT_ref, doT_ref, lse_ref, delta_ref,
+    dkT_ref, dvT_ref,
+    dk_scr, dv_scr,
+    *, n_real: int, nq: int, nk: int, use_lsa: bool,
+    dropout_rate: float, deterministic: bool,
+):
+    bh, kj, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    qT = qT_ref[0]
+    kT = kT_ref[0]
+    vT = vT_ref[0]
+    doT = doT_ref[0]
+    lse = lse_ref[0, :1, :]  # (1, BLOCK_Q), natural log
+    delta = delta_ref[0, :1, :]
+
+    sT = jax.lax.dot_general(
+        kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sT = _apply_mask_dt(sT, qi, kj, n_real, use_lsa)
+    pT = jnp.exp2((sT - lse) * LOG2E)
+
+    bits = None
+    if dropout_rate > 0.0 and not deterministic:
+        bits = _dropout_raw_bits(seed_ref[0], bh, qi, kj, nq, nk, sT.shape)
+        vT = (
+            vT.astype(jnp.float32) * (1.0 / (1.0 - dropout_rate))
+        ).astype(vT.dtype)
+    dpT_raw = jax.lax.dot_general(
+        vT, doT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bits is not None:
+        pT_dropped, dpT = _apply_keep_halves(
+            bits, (pT, dpT_raw), 1.0 - dropout_rate, 1.0
+        )
+    else:
+        pT_dropped = pT
+        dpT = dpT_raw
+
+    # dvT[d, k] += sum_q doT[d, q] p_dropped[k, q]; the survivor scale is
+    # constant so it folds into the single final store below
+    dv_scr[...] += jax.lax.dot_general(
+        doT, pT_dropped.astype(doT.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (DP, BLOCK_K)
+    dsT = pT * (dpT - delta)
+    dk_scr[...] += jax.lax.dot_general(
+        qT, dsT.astype(qT.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (DP, BLOCK_K)
+
+    @pl.when(qi == nq - 1)
+    def _store():
+        dkT_ref[0] = dk_scr[...].astype(dkT_ref.dtype)
+        dv = dv_scr[...]
+        if dropout_rate > 0.0 and not deterministic:
+            dv = dv * (1.0 / (1.0 - dropout_rate))
+        dvT_ref[0] = dv.astype(dvT_ref.dtype)
+
+
+def _flash_backward_dt(qT, kT, vT, seed, lse, doT, delta, *, n_real, use_lsa,
+                       dropout_rate, deterministic, block_q, block_k):
+    bhn, d_pad, nq_pad = qT.shape
+    nk_pad = kT.shape[2]
+    nq, nk = nq_pad // block_q, nk_pad // block_k
+    common = dict(
+        n_real=n_real, nq=nq, nk=nk, use_lsa=use_lsa,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+    )
+    in_specs_q_major = [
+        pl.BlockSpec((1, d_pad, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+        pl.BlockSpec((1, d_pad, block_k), lambda bh, qi, kj, *_: (bh, 0, kj)),
+        pl.BlockSpec((1, d_pad, block_k), lambda bh, qi, kj, *_: (bh, 0, kj)),
+        pl.BlockSpec((1, d_pad, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+    ]
+    dqT = pl.pallas_call(
+        functools.partial(_dq_kernel_dt, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bhn, nq, nk),
+            in_specs=in_specs_q_major,
+            out_specs=[
+                pl.BlockSpec((1, d_pad, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
+            ],
+            scratch_shapes=[pltpu.VMEM((d_pad, block_q), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(qT.shape, qT.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(seed, qT, kT, vT, doT, lse, delta)[0]
+
+    in_specs_k_major = [
+        pl.BlockSpec((1, d_pad, block_q), lambda bh, kj, qi, *_: (bh, 0, qi)),
+        pl.BlockSpec((1, d_pad, block_k), lambda bh, kj, qi, *_: (bh, 0, kj)),
+        pl.BlockSpec((1, d_pad, block_k), lambda bh, kj, qi, *_: (bh, 0, kj)),
+        pl.BlockSpec((1, d_pad, block_q), lambda bh, kj, qi, *_: (bh, 0, qi)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, kj, qi, *_: (bh, 0, qi)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, kj, qi, *_: (bh, 0, qi)),
+    ]
+    dkT, dvT = pl.pallas_call(
+        functools.partial(_dkv_kernel_dt, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bhn, nk, nq),
+            in_specs=in_specs_k_major,
+            out_specs=[
+                pl.BlockSpec((1, d_pad, block_k), lambda bh, kj, qi, *_: (bh, 0, kj)),
+                pl.BlockSpec((1, d_pad, block_k), lambda bh, kj, qi, *_: (bh, 0, kj)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((d_pad, block_k), jnp.float32),
+                pltpu.VMEM((d_pad, block_k), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(kT.shape, kT.dtype),
+            jax.ShapeDtypeStruct(vT.shape, vT.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(seed, qT, kT, vT, doT, lse, delta)
+    return dqT, dkT, dvT
 
 
 # --- backward ------------------------------------------------------------------
@@ -724,7 +1085,7 @@ def _flash_backward_merged(q, k, v, seed, lse, do, delta, *, n_real, use_lsa,
 
 def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
                     dropout_rate, deterministic, block_q, block_k,
-                    dlse=None):
+                    dlse=None, dt=False):
     BLOCK_Q, BLOCK_K = block_q, block_k
     bhn, nq_pad, d_pad = q.shape
     nk_pad = k.shape[1]
@@ -736,9 +1097,24 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
         # cotangent of the returned LSE (flash_attention_with_lse): since
         # d lse_i / d s_ij = p_ij and every kernel computes
         # ds = p * (dp - delta), folding -dlse into delta adds the exact
-        # p * dlse term — no kernel changes needed
+        # p * dlse term — no kernel changes needed (the dt kernels' extra
+        # ln2 on ds is exactly d lse_nat/d s_log2, so the fold stays exact
+        # there too)
         delta = delta - dlse.astype(jnp.float32)
     delta = jnp.broadcast_to(delta[:, None, :], (bhn, 8, nq_pad))
+
+    if dt:
+        dqT, dkT, dvT = _flash_backward_dt(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2), seed, lse, jnp.swapaxes(do, 1, 2), delta,
+            n_real=n_real, use_lsa=use_lsa, dropout_rate=dropout_rate,
+            deterministic=deterministic, block_q=BLOCK_Q, block_k=BLOCK_K,
+        )
+        return (
+            jnp.swapaxes(dqT, 1, 2),
+            jnp.swapaxes(dkT, 1, 2),
+            jnp.swapaxes(dvT, 1, 2),
+        )
 
     # whole-K backward needs double-buffered full-length dk/dv outputs in
     # VMEM on top of the scratch — only worth it for small K; opt-in
@@ -864,35 +1240,38 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_core(static_cfg, q, k, v, seed):
-    n_real, use_lsa, dropout_rate, deterministic, block_q, block_k = static_cfg
+    (n_real, use_lsa, dropout_rate, deterministic, block_q, block_k,
+     dt) = static_cfg
     out, _ = _flash_forward(
         q, k, v, seed,
         n_real=n_real, use_lsa=use_lsa,
         dropout_rate=dropout_rate, deterministic=deterministic,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, dt=dt,
     )
     return out
 
 
 def _flash_core_fwd(static_cfg, q, k, v, seed):
-    n_real, use_lsa, dropout_rate, deterministic, block_q, block_k = static_cfg
+    (n_real, use_lsa, dropout_rate, deterministic, block_q, block_k,
+     dt) = static_cfg
     out, lse = _flash_forward(
         q, k, v, seed,
         n_real=n_real, use_lsa=use_lsa,
         dropout_rate=dropout_rate, deterministic=deterministic,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, dt=dt,
     )
     return out, (q, k, v, seed, out, lse)
 
 
 def _flash_core_bwd(static_cfg, residuals, do):
-    n_real, use_lsa, dropout_rate, deterministic, block_q, block_k = static_cfg
+    (n_real, use_lsa, dropout_rate, deterministic, block_q, block_k,
+     dt) = static_cfg
     q, k, v, seed, out, lse = residuals
     dq, dk, dv = _flash_backward(
         q, k, v, seed, out, lse, do,
         n_real=n_real, use_lsa=use_lsa,
         dropout_rate=dropout_rate, deterministic=deterministic,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, dt=dt,
     )
     return dq, dk, dv, None
 
@@ -922,6 +1301,8 @@ def flash_attention(
     VJP covers only the blockwise attention itself.
     """
     b, h, n, d = q.shape
+    block_q, block_k = pick_blocks(n)
+    dt = _use_dt_blocked(n, d, q.dtype.itemsize, block_k)
     scale = jnp.asarray(scale, jnp.float32)
     if scale.ndim == 1:
         q = q * scale[None, :, None, None].astype(q.dtype)
@@ -930,11 +1311,11 @@ def flash_attention(
 
     # q and k lengths pad independently to their own block sizes (attention
     # is rectangular): padded keys are masked inside the kernel, padded query
-    # rows are sliced off here
-    block_q, block_k = pick_blocks(n)
+    # rows are sliced off here. dt keeps the head dim at sublane granularity
+    # (that is the point); legacy tiles carry it on lanes
     nq_pad = _round_up(n, block_q)
     nk_pad = _round_up(n, block_k)
-    d_pad = _round_up(d, 128)
+    d_pad = _round_up(d, 16) if dt else _round_up(d, 128)
 
     def prep(x, n_pad):
         x = x.reshape(b * h, n, d)
@@ -948,7 +1329,7 @@ def flash_attention(
         seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
 
     static_cfg = (n, bool(use_lsa), float(dropout_rate), bool(deterministic),
-                  block_q, block_k)
+                  block_q, block_k, dt)
     from v1t_tpu.parallel.kernel_sharding import call_kernel  # noqa: E402
 
     # qp/kp/vp lead with B*H — divisible by the mesh's batch axis whenever B
@@ -965,36 +1346,36 @@ def flash_attention(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_lse_core(static_cfg, q, k, v, seed):
-    n_real, dropout_rate, deterministic, block_q, block_k = static_cfg
+    n_real, dropout_rate, deterministic, block_q, block_k, dt = static_cfg
     out, lse = _flash_forward(
         q, k, v, seed,
         n_real=n_real, use_lsa=False,
         dropout_rate=dropout_rate, deterministic=deterministic,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, dt=dt,
     )
     return out, lse[:, 0, :]
 
 
 def _flash_lse_core_fwd(static_cfg, q, k, v, seed):
-    n_real, dropout_rate, deterministic, block_q, block_k = static_cfg
+    n_real, dropout_rate, deterministic, block_q, block_k, dt = static_cfg
     out, lse = _flash_forward(
         q, k, v, seed,
         n_real=n_real, use_lsa=False,
         dropout_rate=dropout_rate, deterministic=deterministic,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, dt=dt,
     )
     return (out, lse[:, 0, :]), (q, k, v, seed, out, lse)
 
 
 def _flash_lse_core_bwd(static_cfg, residuals, cts):
-    n_real, dropout_rate, deterministic, block_q, block_k = static_cfg
+    n_real, dropout_rate, deterministic, block_q, block_k, dt = static_cfg
     q, k, v, seed, out, lse = residuals
     do, dlse = cts
     dq, dk, dv = _flash_backward(
         q, k, v, seed, out, lse, do,
         n_real=n_real, use_lsa=False,
         dropout_rate=dropout_rate, deterministic=deterministic,
-        block_q=block_q, block_k=block_k, dlse=dlse,
+        block_q=block_q, block_k=block_k, dlse=dlse, dt=dt,
     )
     return dq, dk, dv, None
 
@@ -1032,9 +1413,10 @@ def flash_attention_with_lse(
     n_real = int(n_real_k) if n_real_k is not None else nk
     block_q = pick_blocks(nq)[0]
     block_k = pick_blocks(nk)[1]
+    dt = _use_dt_blocked(nk, d, q.dtype.itemsize, block_k)
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_k)
-    d_pad = _round_up(d, 128)
+    d_pad = _round_up(d, 16) if dt else _round_up(d, 128)
 
     def prep(x, n, n_pad):
         x = x.reshape(b * h, n, d)
@@ -1047,7 +1429,8 @@ def flash_attention_with_lse(
     else:
         seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     static_cfg = (
-        n_real, float(dropout_rate), bool(deterministic), block_q, block_k
+        n_real, float(dropout_rate), bool(deterministic), block_q, block_k,
+        dt,
     )
     out, lse = _flash_lse_core(static_cfg, qp, kp, vp, seed)
     return (
