@@ -212,3 +212,23 @@ def test_train_data_parallel_cli_matches_single_device(
         os.path.join(sub_root, stamp, "sensorium+", "live_test.csv")
     )
     assert len(live) == 20
+
+
+def test_train_sequence_parallel_cli_wiring(data_dir, tmp_path_factory):
+    """train.py's --sequence_parallel block end to end on the virtual mesh
+    (ADVICE r4 high: the warning block accessed model.core.num_patches on
+    the unbound Model and crashed every multi-device SP run with core=vit).
+    bf16 makes the fused-path predicate fire so the warning prints too."""
+    out = tmp_path_factory.mktemp("runs") / "run_sp"
+    cfg = _train_config(data_dir, out)
+    cfg.epochs = 1
+    cfg.precision = "bf16"  # sp_bypasses_fused_attention -> True at 1654<=N
+    cfg.data_parallel = 4
+    cfg.sequence_parallel = 2
+    result = train_cli.main(cfg)
+    assert "single_trial_correlation" in result
+    assert np.isfinite(result["single_trial_correlation"])
+    # the Logger tees stdout to output.log; assert the warning there
+    with open(os.path.join(str(out), "output.log")) as f:
+        log = f.read()
+    assert "sequence_parallel shards attention" in log

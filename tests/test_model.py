@@ -246,3 +246,29 @@ def test_gaussian2d_eval_uses_mu_train_samples():
         rngs={"dropout": jax.random.key(0), "sample": jax.random.key(2)},
     )
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_core_token_count_unbound(monkeypatch):
+    """core_token_count must not touch Model.core (submodules assigned in
+    setup() raise AttributeError on the unbound module — ADVICE r4 high:
+    train.py's --sequence_parallel warning block crashed on it). The helper
+    must agree with the bound core's num_patches + CLS."""
+    from v1t_tpu.models.model import core_token_count
+
+    cfg, card, model, params = _setup()
+    # the unbound access that train.py used to do raises
+    with pytest.raises(AttributeError):
+        _ = model.core.num_patches
+    ntok = core_token_count(cfg, card)
+
+    # bound truth: capture num_patches from inside apply
+    got = {}
+
+    def probe(mdl, images, behaviors, pupils):
+        got["ntok"] = mdl.core.num_patches + 1
+        return mdl(images, mouse_id="A", behaviors=behaviors,
+                   pupil_centers=pupils)
+
+    images, behaviors, pupils = _batch()
+    model.apply({"params": params}, images, behaviors, pupils, method=probe)
+    assert ntok == got["ntok"]

@@ -297,12 +297,14 @@ def test_model_auto_dispatch_uses_fused_kernel():
     assert "ops/fused_mha.py" in hlo, "vit fell back to the composed path"
 
 
-def test_dt_vs_legacy_kernels():
+@pytest.mark.parametrize("dt_form", [1, 2])
+def test_dt_vs_legacy_kernels(dt_form):
     """The dt-form (transposed-operand) whole-sequence kernels must agree
     with the legacy blocked kernels: same math, different MXU orientation —
     only bf16 accumulation-order noise may differ. Dropout masks are
     regenerated from the same (seed, uid) streams, so stochastic outputs
-    are compared with the SAME rng."""
+    are compared with the SAME rng. Parametrized over dt1 AND dt2 (the
+    production default) — ADVICE r4: `True` silently meant dt1 only."""
     import v1t_tpu.ops.fused_mha as m
 
     args = _params(b=2, n=300, e=32, h=4)
@@ -319,8 +321,8 @@ def test_dt_vs_legacy_kernels():
         dict(deterministic=True),
         dict(deterministic=True, use_lsa=True),
     ):
-        a = run(True, **kw).astype(jnp.float32)
-        b = run(False, **kw).astype(jnp.float32)
+        a = run(dt_form, **kw).astype(jnp.float32)
+        b = run(0, **kw).astype(jnp.float32)
         assert float(jnp.max(jnp.abs(a - b))) < 3e-3, kw
 
     # gradients: dt vs legacy on the same loss
@@ -333,10 +335,10 @@ def test_dt_vs_legacy_kernels():
             m._DT_FORM = old
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    g_dt = jax.grad(functools.partial(loss, True), argnums=tuple(range(7)))(
-        *args
-    )
-    g_le = jax.grad(functools.partial(loss, False), argnums=tuple(range(7)))(
+    g_dt = jax.grad(
+        functools.partial(loss, dt_form), argnums=tuple(range(7))
+    )(*args)
+    g_le = jax.grad(functools.partial(loss, 0), argnums=tuple(range(7)))(
         *args
     )
     names = ("x", "gamma", "beta", "wqkv", "wp", "bp", "scale")

@@ -113,8 +113,11 @@ def main(config: Config, wandb_sweep: bool = False):
         )
         if config.core == "vit":
             from v1t_tpu.models.cores.vit import sp_bypasses_fused_attention
+            from v1t_tpu.models.model import core_token_count
 
-            ntok = model.core.num_patches + 1  # + CLS
+            # NOT model.core.num_patches: submodules assigned in setup() are
+            # inaccessible on the unbound Model (Flax raises AttributeError)
+            ntok = core_token_count(config, card)
             if sp_bypasses_fused_attention(config, ntok):
                 print(
                     f"WARNING: --sequence_parallel shards attention through "

@@ -178,9 +178,13 @@ def pack_mouse_dir(mouse_dir: str, verbose: int = 1) -> str:
     # destination memmap, so no synchronization is needed
     import concurrent.futures
 
-    workers = int(os.environ.get("V1T_PACK_WORKERS") or 0) or min(
+    # V1T_PACK_WORKERS is the TOTAL reader-thread budget: the 4 fields pack
+    # concurrently in an outer pool, so each field gets budget/len(FIELDS)
+    # threads (ADVICE r4: the knob used to be per-field, 4x the ask)
+    budget = int(os.environ.get("V1T_PACK_WORKERS") or 0) or min(
         16, os.cpu_count() or 4
     )
+    workers = max(1, budget // len(FIELDS))
 
     def _pack_field(field: str):
         first = np.load(os.path.join(mouse_dir, "data", field, "0.npy"))

@@ -196,6 +196,28 @@ def build_model(config: Config, data_card: DataCard) -> Model:
     return Model(config=config, data_card=data_card, dtype=dtype)
 
 
+def core_token_count(config: Config, data_card: DataCard) -> int:
+    """Token count (patches + CLS) of the configured core WITHOUT binding a
+    Model: submodules assigned in Model.setup() are not accessible on the
+    unbound module (Flax restriction), so callers that need the token count
+    before apply/init (e.g. train.py's sequence-parallel warning) rebuild
+    the core dataclass directly — its ``num_patches`` property reads only
+    dataclass fields."""
+    cropper = ImageCropper(
+        input_shape=data_card.input_shape,
+        mouse_ids=data_card.mouse_ids,
+        shift_mode=config.shift_mode,
+        behavior_mode=config.behavior_mode,
+        center_crop=config.center_crop,
+        resize_image=config.resize_image,
+        ds_name=data_card.ds_name,
+    )
+    core = get_core(config.core).from_config(
+        config, image_shape=cropper.output_shape, mouse_ids=data_card.mouse_ids
+    )
+    return int(core.num_patches) + 1  # + CLS
+
+
 def init_model_variables(
     model: Model, seed: int = 0, batch_size: int = 1
 ) -> t.Tuple[t.Dict[str, t.Any], t.Dict[str, t.Any]]:

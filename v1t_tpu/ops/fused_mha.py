@@ -87,8 +87,15 @@ if _raw_dt in ("0", "false", "off", "no"):
     _DT_FORM = 0
 elif _raw_dt in ("1", "true", "on", "yes"):
     _DT_FORM = 1
-else:
+elif _raw_dt in ("2",):
     _DT_FORM = 2
+else:
+    # loud, like _use_dt_blocked: a typo must not silently run a kernel
+    # config that save_args never recorded
+    raise ValueError(
+        f"V1T_DT_FORM={_raw_dt!r} not recognized; use 0/1/2 "
+        "(or false/true aliases for 0/1)"
+    )
 # dt2 (default): transposed-SCORE orientation + batched all-head
 # projections. Per (batch, head) the dt1 kernels issue 5-6 per-head
 # projection matmuls (~10 us of a 43 us backward program at the flagship

@@ -51,6 +51,16 @@ P_CHUNK = int(_os.environ.get("V1T_INTERP_P_CHUNK") or 0) or 1024
 # experiment knob (misc/bench_readout.py): 1 replaces the hat build with a
 # broadcast — WRONG results, measures the matmul-only floor
 _ABLATE_HATS = _os.environ.get("V1T_INTERP_ABLATE", "") == "1"
+if _ABLATE_HATS:  # a leaked env var must not corrupt a run silently
+    import sys as _sys
+
+    print(
+        "WARNING: V1T_INTERP_ABLATE=1 — the readout forward kernel is "
+        "running the hat-build ABLATION and produces WRONG outputs (bench "
+        "knob, misc/bench_readout.py). Unset it for real runs.",
+        file=_sys.stderr,
+        flush=True,
+    )
 
 # the kernels keep the whole (C, T) table resident in VMEM plus ~5 live
 # (T, P_CHUNK) fp32 hat/derivative matrices in the merged backward
