@@ -76,7 +76,8 @@ def build_step(batch_size=64):
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/v1t_profile"
-    grad_fn, params, base_rng = build_step()
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    grad_fn, params, base_rng = build_step(batch_size)
 
     g = grad_fn(params, jax.random.fold_in(base_rng, 0))
     jax.block_until_ready(g)

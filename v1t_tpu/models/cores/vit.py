@@ -62,10 +62,12 @@ def _fused_attention_eligible(
     cannot drift (pad-once REQUIRES the fused path downstream). ``backend``
     overrides the live backend so CPU-mesh dry runs can assert the fused
     path WOULD engage on TPU at a given config."""
+    from v1t_tpu.ops.common import interpret_enabled
+
     return (
         attention_impl in ("auto", "pallas")
         and dtype == jnp.bfloat16
-        and (backend or jax.default_backend()) == "tpu"
+        and ((backend or jax.default_backend()) == "tpu" or interpret_enabled())
         and n <= FUSED_MAX_N
     )
 
@@ -445,7 +447,11 @@ class MLP(nn.Module):
         )
 
         dt = self.dtype
-        use_fused = dt == jnp.bfloat16 and jax.default_backend() == "tpu"
+        from v1t_tpu.ops.common import interpret_enabled
+
+        use_fused = dt == jnp.bfloat16 and (
+            jax.default_backend() == "tpu" or interpret_enabled()
+        )
         rng = None
         if self.dropout > 0.0 and train:
             rng = self.make_rng("dropout")

@@ -193,10 +193,12 @@ class Gaussian2DReadout(nn.Module):
         if shifts is not None:
             grid = grid + shifts[:, None, None, :]
         grid = grid.reshape(batch_size, self.num_neurons, 2)
+        from v1t_tpu.ops.common import interpret_enabled
+
         use_pallas = self.impl == "pallas" or (
             self.impl == "auto"
             and inputs.dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or interpret_enabled())
             # full-resolution feature maps (34k tokens) exceed the kernel's
             # VMEM-resident table cap -> exact XLA gather path
             and h * w <= MAX_TABLE_ROWS

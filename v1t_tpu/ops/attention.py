@@ -92,8 +92,10 @@ def multi_head_attention(
     if return_probs:
         impl = "xla"
     if impl == "auto":
+        from v1t_tpu.ops.common import interpret_enabled
+
         platform = jax.default_backend()
-        on_tpu = platform in ("tpu", "axon")
+        on_tpu = platform in ("tpu", "axon") or interpret_enabled()
         # tiny sequences aren't worth a kernel launch
         impl = "pallas" if (on_tpu and q.shape[2] >= 256) else "xla"
     if impl == "pallas":

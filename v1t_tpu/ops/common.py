@@ -2,10 +2,38 @@
 
 from __future__ import annotations
 
+import os as _os
 import typing as t
 
 import jax
 import jax.numpy as jnp
+
+
+def interpret_enabled() -> bool:
+    """V1T_PALLAS_INTERPRET=1 runs every Pallas kernel under the Mosaic
+    TPU interpreter (jax.experimental.pallas.tpu.InterpretParams) so the
+    fused kernel paths execute on a CPU backend — including the 8-device
+    virtual mesh the multi-chip tests use. Test-only: the interpreter is
+    orders of magnitude slower than compiled Mosaic."""
+    val = _os.environ.get("V1T_PALLAS_INTERPRET", "0").strip().lower()
+    if val in ("", "0", "false", "auto"):
+        return False
+    if val in ("1", "true"):
+        return True
+    raise ValueError(f"V1T_PALLAS_INTERPRET={val!r} must be 0/1")
+
+
+def pallas_call(*args, **kwargs):
+    """``pl.pallas_call`` with the session's interpret mode applied — every
+    kernel call site routes through here so V1T_PALLAS_INTERPRET covers all
+    of them (read at trace time)."""
+    from jax.experimental import pallas as pl
+
+    if interpret_enabled():
+        from jax.experimental.pallas import tpu as pltpu
+
+        kwargs.setdefault("interpret", pltpu.InterpretParams())
+    return pl.pallas_call(*args, **kwargs)
 
 
 def torch_default_kernel_init(key, shape, dtype=jnp.float32):

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from v1t_tpu.ops.common import pallas_call as _pallas_call
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 import os as _os
 
@@ -453,7 +455,7 @@ def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate,
             n_real=n_real, nq=nq, nk=nk, block_k=BLOCK_K, use_lsa=use_lsa,
             dropout_rate=dropout_rate, deterministic=deterministic,
         )
-        out, lse = pl.pallas_call(
+        out, lse = _pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -486,7 +488,7 @@ def _flash_forward(q, k, v, seed, *, n_real, use_lsa, dropout_rate,
         dropout_rate=dropout_rate,
         deterministic=deterministic,
     )
-    out, lse = pl.pallas_call(
+    out, lse = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -610,7 +612,7 @@ def _flash_forward_dt(qT, kT, vT, seed, *, n_real, use_lsa, dropout_rate,
         n_real=n_real, nq=nq, nk=nk, use_lsa=use_lsa,
         dropout_rate=dropout_rate, deterministic=deterministic,
     )
-    out, lse = pl.pallas_call(
+    out, lse = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -781,7 +783,7 @@ def _flash_backward_dt(qT, kT, vT, seed, lse, doT, delta, *, n_real, use_lsa,
         pl.BlockSpec((1, 8, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
         pl.BlockSpec((1, 8, block_q), lambda bh, qi, kj, *_: (bh, 0, qi)),
     ]
-    dqT = pl.pallas_call(
+    dqT = _pallas_call(
         functools.partial(_dq_kernel_dt, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -806,7 +808,7 @@ def _flash_backward_dt(qT, kT, vT, seed, lse, doT, delta, *, n_real, use_lsa,
         pl.BlockSpec((1, 8, block_q), lambda bh, kj, qi, *_: (bh, 0, qi)),
         pl.BlockSpec((1, 8, block_q), lambda bh, kj, qi, *_: (bh, 0, qi)),
     ]
-    dkT, dvT = pl.pallas_call(
+    dkT, dvT = _pallas_call(
         functools.partial(_dkv_kernel_dt, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1047,7 +1049,7 @@ def _flash_backward_merged(q, k, v, seed, lse, do, delta, *, n_real, use_lsa,
         dropout_rate=dropout_rate, deterministic=deterministic,
         block_k=BLOCK_K,
     )
-    dq, dk, dv = pl.pallas_call(
+    dq, dk, dv = _pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1128,7 +1130,7 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
             n_real=n_real, nq=nq, nk=nk, block_k=BLOCK_K, use_lsa=use_lsa,
             dropout_rate=dropout_rate, deterministic=deterministic,
         )
-        dq, dk, dv = pl.pallas_call(
+        dq, dk, dv = _pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -1184,7 +1186,7 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
         pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, kj, *_: (bh, 0, qi)),  # lse
         pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, qi, kj, *_: (bh, 0, qi)),  # delta
     ]
-    dq = pl.pallas_call(
+    dq = _pallas_call(
         functools.partial(_dq_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1209,7 +1211,7 @@ def _flash_backward(q, k, v, seed, out, lse, do, *, n_real, use_lsa,
         pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, kj, qi, *_: (bh, 0, qi)),  # lse
         pl.BlockSpec((1, 8, BLOCK_Q), lambda bh, kj, qi, *_: (bh, 0, qi)),  # delta
     ]
-    dk, dv = pl.pallas_call(
+    dk, dv = _pallas_call(
         functools.partial(_dkv_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from v1t_tpu.ops.common import pallas_call as _pallas_call
+
 from v1t_tpu.ops.flash_attention import (
     MASK_VALUE,
     _apply_keep_halves,
@@ -884,7 +886,7 @@ def _mha_forward_dt2(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *,
     ]
     if not save_residuals:
         res_specs, res_shapes = [], []
-    results = pl.pallas_call(
+    results = _pallas_call(
         functools.partial(
             _mha_fwd_kernel_dt2, save_residuals=save_residuals, dp=dp,
             **_dt_cfg(cfg)
@@ -933,7 +935,7 @@ def _mha_backward_dt2(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, ohT,
     wqkvp, wqkv480, wpp = _dt2_weights(wqkv, wp, dp)
     grid = (b, h)
     (dx, dg, dbeta, dwqkvT, dwp, dscale, dbp,
-     dbrow) = pl.pallas_call(
+     dbrow) = _pallas_call(
         functools.partial(_mha_bwd_kernel_dt2, dp=dp, **_dt_cfg(cfg)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1230,7 +1232,7 @@ def _mha_forward_dt(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *,
     ]
     if not save_residuals:
         res_specs, res_shapes = [], []
-    results = pl.pallas_call(
+    results = _pallas_call(
         functools.partial(
             _mha_fwd_kernel_dt, save_residuals=save_residuals, **_dt_cfg(cfg)
         ),
@@ -1275,7 +1277,7 @@ def _mha_backward_dt(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, ohT,
     h = cfg["num_heads"]
     grid = (b, h)
     (dx, dg, dbeta, dwqT, dwkT, dwvT, dwp, dscale, dbp,
-     dbrow) = pl.pallas_call(
+     dbrow) = _pallas_call(
         functools.partial(_mha_bwd_kernel_dt, **_dt_cfg(cfg)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1354,7 +1356,7 @@ def _mha_forward(x_pad, brow, gamma, beta, wqkv, wp, bp, scale, seed, *, cfg,
     ]
     if not save_residuals:
         res_specs, res_shapes = [], []
-    results = pl.pallas_call(
+    results = _pallas_call(
         functools.partial(
             _mha_fwd_kernel, save_residuals=save_residuals,
             **_legacy_cfg(cfg)
@@ -1404,7 +1406,7 @@ def _mha_backward(x_pad, brow, gamma, beta, wqkv, wp, scale, seed, oh, lse,
     nq = cfg["nq"]
     bq = npad // nq
     grid = (b, h, nq)
-    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp, dbrow = pl.pallas_call(
+    dx, dg, dbeta, dwq, dwk, dwv, dwp, dscale, dbp, dbrow = _pallas_call(
         functools.partial(_mha_bwd_kernel, **_legacy_cfg(cfg)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

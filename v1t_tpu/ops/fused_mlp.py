@@ -27,6 +27,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from v1t_tpu.ops.common import pallas_call as _pallas_call
+
 from v1t_tpu.ops.flash_attention import _keep_draw, _round_up
 
 BLOCK_R = 512  # token rows per program (sequences too long for whole-row mode)
@@ -235,7 +237,7 @@ def _mlp_forward(x_pad, gamma, beta, w1, b1, w2, b2, seed, *, cfg):
     block_r = _block_r(npad)
     nr = npad // block_r
     in_specs, x_spec = _specs(npad, e, f, block_r)
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(_mlp_fwd_kernel, nr=nr, **cfg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -259,7 +261,7 @@ def _mlp_backward(x_pad, gamma, beta, w1, b1, w2, b2, seed, do, *, cfg):
     block_r = _block_r(npad)
     nr = npad // block_r
     in_specs, x_spec = _specs(npad, e, f, block_r)
-    outs = pl.pallas_call(
+    outs = _pallas_call(
         functools.partial(_mlp_bwd_kernel, nr=nr, **cfg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from v1t_tpu.ops.common import pallas_call as _pallas_call
+
 import os as _os
 
 P_CHUNK = int(_os.environ.get("V1T_INTERP_P_CHUNK") or 0) or 1024
@@ -187,7 +189,7 @@ def _interp_fwd(static, flat_pad, xs, ys):
     width, out_dtype = static
     b, c, tp = flat_pad.shape
     pp = xs.shape[2]
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(_fwd_kernel, width=width),
         grid=(b, pp // P_CHUNK),
         in_specs=[
@@ -212,7 +214,7 @@ def _interp_bwd(static, residuals, dout):
     pp = xs.shape[2]
     dout = dout.astype(flat_pad.dtype)
 
-    dgx, dgy, dflat = pl.pallas_call(
+    dgx, dgy, dflat = _pallas_call(
         functools.partial(_bwd_kernel, width=width, np_chunks=pp // P_CHUNK),
         grid=(b, pp // P_CHUNK),
         in_specs=[
