@@ -13,7 +13,14 @@ seed-noise band the JAX run must land inside.
 
 Usage:
     python misc/convergence_ab.py [--workdir DIR] [--epochs 60]
-        [--lr_patience 10] [--ref_seeds 11 23] [--out results.json]
+        [--lr_patience 10] [--ref_seeds 11 23 42]
+        [--jax_seeds 11 23 42] [--out results.json]
+
+Seed design (VERDICT r4 #4): every entry in --jax_seeds trains from this
+framework's OWN native initialization, giving the rebuild's seed-to-seed
+spread to set against the reference band; one extra matched run
+("jax_matched") starts from the torch reference's captured seed-11 init
+so the trajectory-correlation comparison of earlier rounds is preserved.
 
 Results land in <workdir>/convergence_ab.json; the PARITY.md section
 "Cross-framework convergence A/B" is generated from this file.
@@ -66,12 +73,22 @@ def make_fixture(workdir: str, num_train=280, num_validation=64,
 
 
 def run_ab(workdir: str, epochs: int = 60, lr_patience: int = 10,
-           ref_seeds=(11, 23), jax_seed: int = 11) -> dict:
+           ref_seeds=(11, 23, 42), jax_seeds=(11, 23, 42),
+           matched_seed: int = 11) -> dict:
     from v1t_tpu.utils import reference_bridge as rb
     from v1t_tpu.utils.torch_transplant import convert_state_dict
 
     fixture = make_fixture(os.path.join(workdir, "data"))
-    results: dict = {"ref": {}, "jax": None, "config": {}}
+    results: dict = {"ref": {}, "jax": {}, "jax_matched": None,
+                     "config": {}}
+
+    def _log(tag, seed, rec):
+        print(
+            f"[{tag} seed {seed}] {rec['stopped_epoch']} epochs in "
+            f"{rec['elapsed_s']}s best={rec['best_value']:.4f} "
+            f"test={rec.get('eval', {}).get('single_trial_correlation')} "
+            f"feve={rec.get('eval', {}).get('feve')}"
+        )
 
     init_sd = None
     for seed in ref_seeds:
@@ -80,39 +97,51 @@ def run_ab(workdir: str, epochs: int = 60, lr_patience: int = 10,
         rec = rb.run_reference_training(
             cfg, fixture, os.path.join(workdir, f"ref_seed{seed}"),
             mouse_ids=("A", "B"), epochs=epochs, lr_patience=lr_patience,
-            capture_init=(seed == jax_seed),
+            capture_init=(seed == matched_seed),
         )
         rec["elapsed_s"] = round(time.time() - t0, 1)
         if "init_state_dict" in rec:
             init_sd = rec.pop("init_state_dict")
         results["ref"][seed] = rec
-        print(
-            f"[ref seed {seed}] {rec['stopped_epoch']} epochs in "
-            f"{rec['elapsed_s']}s best={rec['best_value']:.4f} "
-            f"test={rec.get('eval', {}).get('single_trial_correlation')}"
-        )
+        _log("ref", seed, rec)
 
-    cfg = ab_config(seed=jax_seed)
-    cfg.mouse_ids = ["A", "B"]
-    init_params = (
-        convert_state_dict(init_sd, cfg) if init_sd is not None else None
-    )
-    t0 = time.time()
-    rec = rb.run_jax_training(
-        cfg, fixture, os.path.join(workdir, "jax"), mouse_ids=("A", "B"),
-        epochs=epochs, lr_patience=lr_patience, init_params=init_params,
-    )
-    rec["elapsed_s"] = round(time.time() - t0, 1)
-    rec["init_from_reference"] = init_params is not None
-    results["jax"] = rec
-    print(
-        f"[jax seed {jax_seed}] {rec['stopped_epoch']} epochs in "
-        f"{rec['elapsed_s']}s best={rec['best_value']:.4f} "
-        f"test={rec.get('eval', {}).get('single_trial_correlation')}"
-    )
+    # The rebuild's own seed band: native flax init per seed (same init
+    # DISTRIBUTIONS as torch — pinned by tests/test_torch_init.py — but
+    # independent draws), its own data order and dropout RNG.
+    for seed in jax_seeds:
+        cfg = ab_config(seed=seed)
+        cfg.mouse_ids = ["A", "B"]
+        t0 = time.time()
+        rec = rb.run_jax_training(
+            cfg, fixture, os.path.join(workdir, f"jax_seed{seed}"),
+            mouse_ids=("A", "B"), epochs=epochs, lr_patience=lr_patience,
+        )
+        rec["elapsed_s"] = round(time.time() - t0, 1)
+        rec["init_from_reference"] = False
+        results["jax"][seed] = rec
+        _log("jax", seed, rec)
+
+    # Matched-init run: start from the reference's captured init so the
+    # epoch-level trajectory correlation is same-init, as in round 4.
+    if init_sd is not None:
+        cfg = ab_config(seed=matched_seed)
+        cfg.mouse_ids = ["A", "B"]
+        init_params = convert_state_dict(init_sd, cfg)
+        t0 = time.time()
+        rec = rb.run_jax_training(
+            cfg, fixture, os.path.join(workdir, "jax_matched"),
+            mouse_ids=("A", "B"), epochs=epochs, lr_patience=lr_patience,
+            init_params=init_params,
+        )
+        rec["elapsed_s"] = round(time.time() - t0, 1)
+        rec["init_from_reference"] = True
+        results["jax_matched"] = rec
+        _log("jax_matched", matched_seed, rec)
+
     results["config"] = {
         "epochs": epochs, "lr_patience": lr_patience,
-        "ref_seeds": list(ref_seeds), "jax_seed": jax_seed,
+        "ref_seeds": list(ref_seeds), "jax_seeds": list(jax_seeds),
+        "matched_seed": matched_seed,
     }
     return results
 
@@ -122,14 +151,17 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--lr_patience", type=int, default=10)
-    ap.add_argument("--ref_seeds", type=int, nargs="+", default=[11, 23])
+    ap.add_argument("--ref_seeds", type=int, nargs="+",
+                    default=[11, 23, 42])
+    ap.add_argument("--jax_seeds", type=int, nargs="+",
+                    default=[11, 23, 42])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     workdir = args.workdir or tempfile.mkdtemp(prefix="convergence_ab_")
     os.makedirs(workdir, exist_ok=True)
     results = run_ab(
         workdir, epochs=args.epochs, lr_patience=args.lr_patience,
-        ref_seeds=tuple(args.ref_seeds),
+        ref_seeds=tuple(args.ref_seeds), jax_seeds=tuple(args.jax_seeds),
     )
     out = args.out or os.path.join(workdir, "convergence_ab.json")
     with open(out, "w") as f:

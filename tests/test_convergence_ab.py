@@ -61,15 +61,18 @@ def test_convergence_ab_short(tmp_path):
 
     # Identical init + identical schedule: the epoch-level trajectories
     # track. Data order and dropout RNG differ by design (each framework's
-    # own pipeline), so this is a band, not equality. The band (0.06) is
-    # ~2x the reference's own seed-to-seed best-val spread measured by
-    # misc/convergence_ab.py on this fixture family (see PARITY.md).
-    assert abs(ref["best_value"] - jx["best_value"]) < 0.06, (
+    # own pipeline), so this is a band, not equality. Round-5 measured
+    # values on the full-size fixture (misc/results/convergence_ab_r05.json,
+    # n=3 seeds per side): best-val seed spread ~0.011 per side, matched-init
+    # cross-framework gap 0.0057, trajectory r 0.9962. The CI fixture is
+    # ~3x smaller (noisier), so the bands below are ~3x the measured
+    # full-size values rather than equality thresholds.
+    assert abs(ref["best_value"] - jx["best_value"]) < 0.04, (
         ref["best_value"], jx["best_value"],
     )
     n = min(len(ref["val_corr"]), len(jx["val_corr"]))
     r = np.corrcoef(ref["val_corr"][:n], jx["val_corr"][:n])[0, 1]
-    assert r > 0.7, (r, ref["val_corr"], jx["val_corr"])
+    assert r > 0.85, (r, ref["val_corr"], jx["val_corr"])
 
     # The run crossed the scheduler path on the reference side (plateau ->
     # rollback + LR decay); the jax side's scheduler is exercised against
@@ -79,8 +82,11 @@ def test_convergence_ab_short(tmp_path):
 
     # Final challenge metrics (test tier, repeats: corr-to-average + FEVE
     # computed by each framework's own Metrics) agree within the band.
+    # Full-size measured test-corr: matched gap 0.010, per-side seed
+    # spread ~0.006 (ref) / 0.017 (jax); 0.04 = ~2x the worst spread on
+    # the noisier CI fixture.
     t_eval, j_eval = ref["eval"], jx["eval"]
     assert abs(
         t_eval["single_trial_correlation"]
         - j_eval["single_trial_correlation"]
-    ) < 0.06, (t_eval, j_eval)
+    ) < 0.04, (t_eval, j_eval)
