@@ -102,6 +102,10 @@ class DataParallel:
         return out
 
     def shard_mask(self, mask: np.ndarray):
+        if jax.process_count() > 1:
+            from v1t_tpu.parallel.multihost import host_local_batch_to_global
+
+            return host_local_batch_to_global(self.mesh, {"mask": mask})["mask"]
         return jax.device_put(mask, self._batch_sharding(1))
 
     def step_shardings(self) -> dict:

@@ -273,16 +273,31 @@ class Trainer:
         from the prefetch thread in ``train_epoch`` so the H2D transfer of
         batch i+1 overlaps the compute of batch i (double buffering) —
         through a remote-attached relay the transfer otherwise sits on the
-        step's critical path."""
+        step's critical path.
+
+        Multi-host (jax.process_count() > 1): every process passes its
+        HOST-LOCAL rows (global_batch / num_processes, symmetric across
+        hosts); the static shapes, ds-scale totals and regularizer weights
+        are all GLOBAL — shard_batch stitches the local rows into
+        globally-sharded arrays (parallel/multihost.py)."""
+        procs = jax.process_count()
         micro = self.config.effective_micro_batch_size
-        true_total = len(batch["image"])
+        if procs > 1:
+            assert micro % procs == 0, (
+                f"micro batch size {micro} must divide over "
+                f"{procs} processes"
+            )
+            micro //= procs
+        true_total = len(batch["image"]) * procs
         from v1t_tpu.data.loaders import micro_batching
 
         micros = []
         for micro_batch in micro_batching(batch, micro):
             padded, mask = pad_batch(micro_batch, micro)
             arrays, mask_dev = self._device_batch(padded, mask)
-            micros.append((arrays, mask_dev, len(micro_batch["image"])))
+            micros.append(
+                (arrays, mask_dev, len(micro_batch["image"]) * procs)
+            )
         return PreparedBatch(micros=micros, total=true_total)
 
     def train_step(
