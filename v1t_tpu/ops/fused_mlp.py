@@ -88,6 +88,26 @@ def _dgelu(x):
     )
 
 
+def _gelu_and_dgelu(x):
+    """gelu(x) and gelu'(x) sharing ONE erf evaluation. Bit-identical to
+    calling _gelu and _dgelu separately (0.5x multiplies are exact, so the
+    product rounds once either way). Measured a WASH on the sublayer bench
+    (misc/bench_mlp_ablate.py) — Mosaic already CSE'd the two _erf(x/√2)
+    calls — but kept: the sharing is now explicit in the source instead of
+    relying on compiler CSE. GELU itself (one A&S erf + the gaussian term)
+    is the sublayer's largest VPU cost (~0.86 ms of ~2.0 ms per-block
+    backward at B=96); a 2-piece polynomial erf and a tanh-approx GELU
+    were both benched — the polynomial is SLOWER (op count beats the
+    div/exp units) and tanh changes numerics (3e-4 vs 1.5e-7 error) for
+    ~0.5 ms/block — rejected, see BENCH_NOTES round 5."""
+    half_erfc = 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
+    a = x * half_erfc
+    da = half_erfc + (
+        x * jnp.exp(-0.5 * x * x) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
+    )
+    return a, da
+
+
 def _mlp_fwd_kernel(
     seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     *, dropout_rate: float, deterministic: bool, nr: int, n_real: int,
@@ -155,7 +175,7 @@ def _mlp_bwd_kernel(
     h = jax.lax.dot(
         ln, w1_ref[...], preferred_element_type=jnp.float32
     ) + b1_ref[0]
-    a = _gelu(h)
+    a, dgelu_h = _gelu_and_dgelu(h)
     inv_keep = 1.0 / (1.0 - dropout_rate)
     if dropout_rate > 0.0 and not deterministic:
         uid = (bi * nr + ri) * 2
@@ -182,7 +202,7 @@ def _mlp_bwd_kernel(
     )
     if dropout_rate > 0.0 and not deterministic:
         da = jnp.where(keep, da * inv_keep, 0.0)
-    dh = da * _dgelu(h)
+    dh = da * dgelu_h
     # fc1 backward
     dw1_scr[...] += jax.lax.dot_general(
         ln, dh.astype(x_ref.dtype), (((0,), (0,)), ((), ())),

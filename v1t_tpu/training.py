@@ -107,6 +107,7 @@ class Trainer:
         self._grad_fns: dict = {}
         self._eval_fns: dict = {}
         self._predict_fns: dict = {}
+        self._cycle_fns: dict = {}
         self._accumulate = jax.jit(
             lambda acc, g: jax.tree_util.tree_map(jnp.add, acc, g)
         )
@@ -206,6 +207,93 @@ class Trainer:
                 jit_kwargs = self.mesh.step_shardings()
             self._grad_fns[mouse_id] = jax.jit(step, **jit_kwargs)
         return self._grad_fns[mouse_id]
+
+    def _get_cycle_fn(self, mouse_ids: t.Tuple[str, ...]):
+        """One jitted program for a FULL mouse cycle: the per-mouse gradient
+        steps, the cross-mouse gradient accumulation and the optimizer
+        update, with params/opt_state donated. Numerically identical to the
+        per-step path (same grad programs, same fp32 accumulation order,
+        same fold_in stream — pinned by tests/test_fused_cycle.py); the
+        point is DISPATCH: one relay round-trip per cycle instead of ~10
+        (6 grad calls + 5 accumulate + apply), which is what separates the
+        epoch bench from the step bench on remote-attached TPUs
+        (BENCH_NOTES round 4: ~40 ms/step of per-dispatch overhead)."""
+        if mouse_ids not in self._cycle_fns:
+
+            def cycle(
+                params, opt_state, model_state, batches, masks, rng_counts,
+                batch_sizes, reg_weights,
+            ):
+                state = model_state
+                acc = None
+                metrics_out = []
+                for j, mouse_id in enumerate(mouse_ids):
+                    rng = jax.random.fold_in(self.base_rng, rng_counts[j])
+
+                    def loss_fn(p, state=state, j=j, mouse_id=mouse_id,
+                                rng=rng):
+                        loss, reg_loss, _, new_state = self._loss_terms(
+                            p, state, batches[j], masks[j], rng, mouse_id,
+                            train=True, batch_size=batch_sizes[j],
+                            reg_weight=reg_weights[j],
+                        )
+                        total = loss + reg_loss
+                        return total, (loss, reg_loss, new_state)
+
+                    (total, (loss, reg_loss, state)), grads = (
+                        jax.value_and_grad(loss_fn, has_aux=True)(params)
+                    )
+                    acc = (
+                        grads
+                        if acc is None
+                        else jax.tree_util.tree_map(jnp.add, acc, grads)
+                    )
+                    metrics_out.append({
+                        "loss/loss": loss,
+                        "loss/reg_loss": reg_loss,
+                        "loss/total_loss": total,
+                    })
+                params, opt_state = self._apply_update(params, opt_state, acc)
+                return params, opt_state, state, metrics_out
+
+            self._cycle_fns[mouse_ids] = jax.jit(
+                cycle, donate_argnums=(0, 1, 2)
+            )
+        return self._cycle_fns[mouse_ids]
+
+    def cycle_fusible(self, items) -> bool:
+        """Whether ``items`` — one prepared batch per mouse, in loader
+        order — can run through the fused cycle program: single-process,
+        no mesh (the meshed step carries its own shardings), and exactly
+        one micro-batch per mouse (micro_batching splits otherwise)."""
+        if self.mesh is not None or jax.process_count() > 1:
+            return False
+        if os.environ.get("V1T_FUSED_CYCLE", "1") == "0":
+            return False
+        return all(len(batch.micros) == 1 for _, batch in items)
+
+    def train_cycle(self, items):
+        """Run one full mouse cycle (one ``PreparedBatch`` per mouse) as a
+        single fused jitted call ending in the optimizer update. Returns
+        the per-mouse metrics dicts (device scalars — materialized once
+        per epoch by log_metrics)."""
+        mouse_ids = tuple(mouse_id for mouse_id, _ in items)
+        arrays, masks, batch_sizes, reg_weights = [], [], [], []
+        for _, batch in items:
+            (a, m, n), = batch.micros
+            arrays.append(a)
+            masks.append(m)
+            batch_sizes.append(np.float32(batch.total))
+            reg_weights.append(np.float32(n / batch.total))
+        counts = self._step_count + 1 + np.arange(len(items), dtype=np.int32)
+        self._step_count += len(items)
+        fn = self._get_cycle_fn(mouse_ids)
+        self.params, self.opt_state, self.model_state, metrics = fn(
+            self.params, self.opt_state, self.model_state,
+            tuple(arrays), tuple(masks), counts,
+            np.asarray(batch_sizes), np.asarray(reg_weights),
+        )
+        return metrics
 
     def _get_eval_fn(self, mouse_id: str):
         if mouse_id not in self._eval_fns:
@@ -482,17 +570,43 @@ def train_epoch(
     cyc = CycleLoaders(ds)
     update_frequency = len(mouse_ids)
     acc = None
-    for i, (mouse_id, batch) in enumerate(
-        _device_prefetch(trainer, iter(cyc))
-    ):
-        acc, metrics = trainer.train_step(
-            mouse_id,
-            batch,
-            acc_grads=acc,
-            update=(i + 1) % update_frequency == 0,
-        )
-        for k, v in metrics.items():
-            results[mouse_id].setdefault(k, []).append(v)
+    i = 0
+    cycle_buf: list = []
+
+    def _run_buffered():
+        # per-step fallback, preserving the exact (i+1) % freq update cadence
+        nonlocal acc, i
+        for mouse_id, batch in cycle_buf:
+            acc, metrics = trainer.train_step(
+                mouse_id,
+                batch,
+                acc_grads=acc,
+                update=(i + 1) % update_frequency == 0,
+            )
+            i += 1
+            for k, v in metrics.items():
+                results[mouse_id].setdefault(k, []).append(v)
+        cycle_buf.clear()
+
+    for mouse_id, batch in _device_prefetch(trainer, iter(cyc)):
+        cycle_buf.append((mouse_id, batch))
+        if len(cycle_buf) < update_frequency:
+            continue
+        # CycleLoaders yields complete round-robin cycles, so the buffer
+        # holds exactly one batch per mouse ending on an update boundary —
+        # the fused path runs the whole cycle (grads + accumulation +
+        # optimizer update) as ONE jitted call (see Trainer.train_cycle)
+        if acc is None and trainer.cycle_fusible(cycle_buf):
+            for (mid, _), metrics in zip(
+                cycle_buf, trainer.train_cycle(cycle_buf)
+            ):
+                for k, v in metrics.items():
+                    results[mid].setdefault(k, []).append(v)
+            i += len(cycle_buf)
+            cycle_buf.clear()
+        else:
+            _run_buffered()
+    _run_buffered()  # tail (only if the loader yielded a partial cycle)
     return log_metrics(results, epoch=epoch, summary=summary, mode=0)
 
 
